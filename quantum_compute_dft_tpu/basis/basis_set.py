@@ -1,0 +1,249 @@
+"""Molecular basis-set construction.
+
+Builds, from a Molecule and the STO-3G tables in data.py, the flattened
+array structures consumed by the integral engine and the AO evaluator:
+
+  * a *cartesian AO table* (one row per cartesian component, each a
+    contraction of nprim primitives sharing one monomial) for the
+    McMurchie-Davidson integral kernels, plus the sparse cartesian ->
+    real-spherical-harmonic transform (6d -> 5d, s/p passthrough);
+  * a *flat primitive-term table* (one row per spherical AO, padded to a
+    fixed number of (monomial, exponent, weight) terms) for grid AO
+    evaluation on the VPU.
+
+Spherical harmonics are used for d shells, matching the reference's nao
+(PySCF default spherical basis; ref grid.py:50).  All contracted functions
+are renormalized to unit self-overlap; SCF energies are invariant to AO
+scaling, so this is safe regardless of the source-table convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from math import factorial, gamma, pi, sqrt
+
+import numpy as np
+
+from quantum_compute_dft_tpu.basis.data import element_shells
+from quantum_compute_dft_tpu.mol.molecule import Molecule
+
+NPRIM = 3  # STO-3G contraction length
+
+# Cartesian monomial order per l.
+CART_MONOMIALS = {
+    0: [(0, 0, 0)],
+    1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+    2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)],
+}
+
+# Real solid harmonics as combinations of cartesian monomials, normalized so
+# that S_lm = r^l * Ybar_lm with Ybar orthonormal on the unit sphere.
+# l=2 order: m = -2, -1, 0, +1, +2  ->  xy, yz, (3z^2-r^2), xz, (x^2-y^2).
+_C1 = sqrt(15.0 / (4.0 * pi))       # xy, yz, xz
+_C2 = sqrt(5.0 / (16.0 * pi))       # 3z^2 - r^2
+_C3 = sqrt(15.0 / (16.0 * pi))      # x^2 - y^2
+SPH_FROM_CART = {
+    0: np.array([[sqrt(1.0 / (4.0 * pi))]]),
+    1: np.eye(3) * sqrt(3.0 / (4.0 * pi)),
+    # rows: m; cols: (xx, xy, xz, yy, yz, zz)
+    2: np.array(
+        [
+            [0.0, _C1, 0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0, _C1, 0.0],
+            [-_C2, 0.0, 0.0, -_C2, 0.0, 2.0 * _C2],
+            [0.0, 0.0, _C1, 0.0, 0.0, 0.0],
+            [_C3, 0.0, 0.0, -_C3, 0.0, 0.0],
+        ]
+    ),
+}
+
+
+def double_factorial(n: int) -> int:
+    if n <= 0:
+        return 1
+    r = 1
+    while n > 1:
+        r *= n
+        n -= 2
+    return r
+
+
+def radial_gto_norm(l: int, alpha: float) -> float:
+    """Norm of r^l exp(-alpha r^2) under \\int R^2 r^2 dr."""
+    k = 2 * l + 2
+    integral = gamma((k + 1) / 2.0) / (2.0 * (2.0 * alpha) ** ((k + 1) / 2.0))
+    return 1.0 / sqrt(integral)
+
+
+def cart_prim_norm(lx: int, ly: int, lz: int, alpha: float) -> float:
+    """Norm of x^lx y^ly z^lz exp(-alpha r^2) in 3D."""
+    L = lx + ly + lz
+    num = (2.0 * alpha / pi) ** 0.75 * (4.0 * alpha) ** (L / 2.0)
+    den = sqrt(
+        double_factorial(2 * lx - 1)
+        * double_factorial(2 * ly - 1)
+        * double_factorial(2 * lz - 1)
+    )
+    return num / den
+
+
+@dataclasses.dataclass(frozen=True)
+class Shell:
+    atom: int
+    l: int
+    center: np.ndarray          # (3,) bohr
+    alphas: np.ndarray          # (NPRIM,)
+    coeffs: np.ndarray          # (NPRIM,) radial-normalized-primitive coeffs,
+    #                             renormalized so the contraction has unit norm
+    label: str                  # e.g. "O 2sp(p)"
+
+
+@dataclasses.dataclass
+class BasisSet:
+    shells: list[Shell]
+    nao: int                    # spherical AO count
+    ncart: int                  # cartesian AO count
+    # --- cartesian AO tables for integrals (row per cartesian AO) ---
+    cart_powers: np.ndarray     # (ncart, 3) int
+    cart_alphas: np.ndarray     # (ncart, NPRIM)
+    cart_coeffs: np.ndarray     # (ncart, NPRIM) includes cartesian primitive norms
+    cart_centers: np.ndarray    # (ncart, 3)
+    cart_atom: np.ndarray       # (ncart,) int
+    c2s: np.ndarray             # (nao, ncart) sparse cart->sph transform
+    # --- flat primitive-term table for AO evaluation (row per spherical AO) ---
+    term_powers: np.ndarray     # (nao, NTERM, 3) int
+    term_alphas: np.ndarray     # (nao, NTERM)
+    term_weights: np.ndarray    # (nao, NTERM) zero-padded
+    ao_centers: np.ndarray      # (nao, 3)
+    ao_atom: np.ndarray         # (nao,) int
+    ao_labels: list[str]
+
+
+def _shell_self_overlap(l: int, alphas, coeffs) -> float:
+    """Radial self-overlap of a contraction of radially-normalized prims."""
+    s = 0.0
+    for ai, ci in zip(alphas, coeffs):
+        for aj, cj in zip(alphas, coeffs):
+            ni, nj = radial_gto_norm(l, ai), radial_gto_norm(l, aj)
+            k = 2 * l + 2
+            ov = gamma((k + 1) / 2.0) / (2.0 * (ai + aj) ** ((k + 1) / 2.0))
+            s += ci * cj * ni * nj * ov
+    return s
+
+
+def build_basis(mol: Molecule) -> BasisSet:
+    shells: list[Shell] = []
+    for ia, sym in enumerate(mol.symbols):
+        for shell_name, l, alphas, coeffs in element_shells(sym):
+            a = np.asarray(alphas, dtype=np.float64)
+            c = np.asarray(coeffs, dtype=np.float64)
+            c = c / sqrt(_shell_self_overlap(l, a, c))
+            shells.append(
+                Shell(
+                    atom=ia,
+                    l=l,
+                    center=mol.coords[ia].copy(),
+                    alphas=a,
+                    coeffs=c,
+                    label=f"{sym}{ia} {shell_name}(l={l})",
+                )
+            )
+
+    # ---- cartesian AO table + c2s ----
+    cart_rows = []
+    sph_blocks = []   # (nao_block, ncart_block) per shell
+    ao_labels: list[str] = []
+    ao_atom = []
+    ao_centers = []
+    for sh in shells:
+        monos = CART_MONOMIALS[sh.l]
+        # For s/p the solid-harmonic factor is a scalar per component; fold it
+        # into the primitive coefficients so c2s is identity there (keeps the
+        # ERI cart->sph transform a no-op for d-free molecules).
+        fold = sqrt(1.0 / (4.0 * pi)) if sh.l == 0 else (
+            sqrt(3.0 / (4.0 * pi)) if sh.l == 1 else 1.0
+        )
+        for lx, ly, lz in monos:
+            # per-primitive coefficient: published coeff * radial norm, expressed
+            # against the *unnormalized* cartesian primitive.
+            coeffs = np.array(
+                [
+                    fold * c * radial_gto_norm(sh.l, a)
+                    for a, c in zip(sh.alphas, sh.coeffs)
+                ]
+            )
+            cart_rows.append(((lx, ly, lz), sh.alphas, coeffs, sh.center, sh.atom))
+        sph_blocks.append(np.eye(2 * sh.l + 1) if sh.l <= 1 else SPH_FROM_CART[sh.l])
+        nsph = SPH_FROM_CART[sh.l].shape[0]
+        for m in range(nsph):
+            ao_labels.append(f"{sh.label} m{m}")
+            ao_atom.append(sh.atom)
+            ao_centers.append(sh.center)
+
+    ncart = len(cart_rows)
+    cart_powers = np.array([r[0] for r in cart_rows], dtype=np.int32)
+    cart_alphas = np.array([r[1] for r in cart_rows])
+    cart_coeffs = np.array([r[2] for r in cart_rows])
+    cart_centers = np.array([r[3] for r in cart_rows])
+    cart_atom = np.array([r[4] for r in cart_rows], dtype=np.int32)
+
+    nao = sum(b.shape[0] for b in sph_blocks)
+    c2s = np.zeros((nao, ncart))
+    io = jo = 0
+    for b in sph_blocks:
+        ns, nc = b.shape
+        c2s[io : io + ns, jo : jo + nc] = b
+        io += ns
+        jo += nc
+
+    # Spherical AOs are exactly normalized by construction: the contraction
+    # is radially renormalized above and the solid-harmonic rows carry the
+    # orthonormal-on-the-sphere constants, so <AO_m|AO_m> = 1.
+
+    # ---- flat primitive-term table (row per spherical AO) ----
+    # Each spherical AO = sum_k c2s[ao, cart_k] * monomial_k * radial contraction.
+    # Expand into primitive terms: weight = c2s * coeff_prim.
+    max_terms = 0
+    term_rows = []
+    for ao in range(nao):
+        terms = []
+        for cart in np.nonzero(c2s[ao])[0]:
+            w_mono = c2s[ao, cart]
+            for p in range(NPRIM):
+                terms.append(
+                    (
+                        tuple(cart_powers[cart]),
+                        cart_alphas[cart, p],
+                        w_mono * cart_coeffs[cart, p],
+                    )
+                )
+        term_rows.append(terms)
+        max_terms = max(max_terms, len(terms))
+
+    nterm = max_terms
+    term_powers = np.zeros((nao, nterm, 3), dtype=np.int32)
+    term_alphas = np.ones((nao, nterm))
+    term_weights = np.zeros((nao, nterm))
+    for ao, terms in enumerate(term_rows):
+        for t, (pw, al, w) in enumerate(terms):
+            term_powers[ao, t] = pw
+            term_alphas[ao, t] = al
+            term_weights[ao, t] = w
+
+    return BasisSet(
+        shells=shells,
+        nao=nao,
+        ncart=ncart,
+        cart_powers=cart_powers,
+        cart_alphas=cart_alphas,
+        cart_coeffs=cart_coeffs,
+        cart_centers=cart_centers,
+        cart_atom=cart_atom,
+        c2s=c2s,
+        term_powers=term_powers,
+        term_alphas=term_alphas,
+        term_weights=term_weights,
+        ao_centers=np.array(ao_centers),
+        ao_atom=np.array(ao_atom, dtype=np.int32),
+        ao_labels=ao_labels,
+    )

@@ -1,0 +1,196 @@
+"""Two-electron repulsion integrals (ij|kl) via McMurchie-Davidson.
+
+Replaces ``mol.intor('int2e')`` (ref grid.py:65).  Two-stage formulation:
+
+  1. *Pair stage* -- for every unique cartesian AO pair and every primitive
+     pair, precompute the combined Hermite coefficients
+     Etilde_{tuv} = Ex[t] Ey[u] Ez[v] (a fixed static list of (t,u,v)
+     combos bounded by the molecule's lmax), plus (p, P, coefficient).
+  2. *Quartet stage* -- a uniform kernel over (bra pair, ket pair)
+     contracting Etilde_bra x Etilde_ket against the Hermite Coulomb
+     tensor R(alpha, P-Q); batched as dense (chunk x chunk) blocks for
+     the MXU-free but fully vectorized f64 path.
+
+Schwarz screening (|(ij|kl)| <= Q_ij Q_kl) compacts the pair list on the
+host before the quartet stage, so negligible pairs never enter the
+device computation.
+"""
+
+from __future__ import annotations
+
+from math import pi
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantum_compute_dft_tpu.basis.basis_set import BasisSet, NPRIM
+from quantum_compute_dft_tpu.integrals.boys import boys
+from quantum_compute_dft_tpu.integrals.mcmurchie import e_tables, hermite_combos, r_tensor
+
+
+def _pair_stage(lmax: int):
+    combos = hermite_combos(2 * lmax)
+
+    def pair(pa, pb, A, B, a, b):
+        """One primitive pair -> (p, P, Etilde[nc])."""
+        p = a + b
+        P = (a * A + b * B) / p
+        ab3 = A - B
+        Es = [e_tables(lmax, lmax, a, b, ab3[d]) for d in range(3)]
+        ex = [Es[d][pa[d], pb[d], :] for d in range(3)]
+        et = jnp.stack([ex[0][t] * ex[1][u] * ex[2][v] for (t, u, v) in combos])
+        return p, P, et
+
+    return pair, combos
+
+
+def _quartet_kernel(lmax: int):
+    combos = hermite_combos(2 * lmax)
+    parity = jnp.array([(-1.0) ** (t + u + v) for (t, u, v) in combos])
+    sum_combos = hermite_combos(4 * lmax)
+    sum_index = {tuv: i for i, tuv in enumerate(sum_combos)}
+    # index map: bra combo x ket combo -> position in R flat list
+    idx = np.array(
+        [
+            [
+                sum_index[(t1 + t2, u1 + u2, v1 + v2)]
+                for (t2, u2, v2) in combos
+            ]
+            for (t1, u1, v1) in combos
+        ],
+        dtype=np.int32,
+    )
+    idx_j = jnp.asarray(idx)
+
+    def quartet(p, P, et1, cw1, q, Q, et2, cw2):
+        """All primitive combinations of one (bra pair, ket pair) quartet.
+
+        p,q: (np2,) exponent sums; P,Q: (np2,3); et: (np2,nc); cw: (np2,).
+        """
+        alpha = p[:, None] * q[None, :] / (p[:, None] + q[None, :])
+        pq = P[:, None, :] - Q[None, :, :]
+        r2 = jnp.sum(pq * pq, axis=-1)
+        f = boys(4 * lmax, alpha * r2)  # (4lmax+1, np2, np2)
+        r = r_tensor(4 * lmax, alpha, jnp.moveaxis(pq, -1, 0), f)
+        r_flat = jnp.stack([r[tuv] for tuv in sum_combos])  # (ns, np2, np2)
+        # contract: sum_{c1,c2} et1[c1] et2[c2] parity[c2] R[idx[c1,c2]]
+        r_sel = r_flat[idx_j]  # (nc, nc, np2, np2)
+        et2p = et2 * parity[None, :]
+        # et1: (np2, nc) bra, et2p: (np2, nc) ket
+        val = jnp.einsum("ca,db,abcd->cd", et1, et2p, r_sel)
+        pref = (
+            2.0 * pi ** 2.5
+            / (p[:, None] * q[None, :] * jnp.sqrt(p[:, None] + q[None, :]))
+        )
+        return jnp.sum(val * pref * cw1[:, None] * cw2[None, :])
+
+    return quartet
+
+
+def eri_packed(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = None):
+    """ERIs over unique cartesian AO pairs: returns (pair_idx, W) with
+    W[a, b] = (i_a j_a | i_b j_b) for the Schwarz-surviving pair list."""
+    n = basis.ncart
+    lmax = int(basis.cart_powers.max())
+    if block is None:
+        # cap the vmapped quartet intermediate (~nc^2 * 81 doubles/quartet)
+        block = 64 if lmax <= 1 else 16
+
+    iu, ju = np.triu_indices(n)
+    npair_all = len(iu)
+
+    pw = jnp.asarray(basis.cart_powers)
+    ce = jnp.asarray(basis.cart_centers)
+    al = basis.cart_alphas
+    co = basis.cart_coeffs
+
+    a_grid = jnp.asarray(np.repeat(al[iu], NPRIM, axis=1))   # (npair, 9)
+    b_grid = jnp.asarray(np.tile(al[ju], (1, NPRIM)))
+    cw = jnp.asarray(np.repeat(co[iu], NPRIM, axis=1) * np.tile(co[ju], (1, NPRIM)))
+
+    pair_fn, combos = _pair_stage(lmax)
+
+    @jax.jit
+    def run_pairs(ii, jj, ag, bg):
+        def one(i, j, a9, b9):
+            return jax.vmap(
+                lambda a, b: pair_fn(pw[i], pw[j], ce[i], ce[j], a, b)
+            )(a9, b9)
+        return jax.vmap(one)(ii, jj, ag, bg)
+
+    p_all, P_all, et_all = run_pairs(
+        jnp.asarray(iu), jnp.asarray(ju), a_grid, b_grid
+    )  # (npair, 9), (npair, 9, 3), (npair, 9, nc)
+
+    quartet = _quartet_kernel(lmax)
+
+    @jax.jit
+    def run_block(pa, Pa, eta, cwa, pb, Pb, etb, cwb):
+        return jax.vmap(
+            lambda p1, P1, e1, c1: jax.vmap(
+                lambda p2, P2, e2, c2: quartet(p1, P1, e1, c1, p2, P2, e2, c2)
+            )(pb, Pb, etb, cwb)
+        )(pa, Pa, eta, cwa)
+
+    # --- Schwarz factors: Q_ab = sqrt((ab|ab)) ---
+    def diag_blocks():
+        qs = []
+        for s in range(0, npair_all, block):
+            e = min(s + block, npair_all)
+            sl = slice(s, e)
+            vals = jax.vmap(
+                lambda p1, P1, e1, c1: quartet(p1, P1, e1, c1, p1, P1, e1, c1)
+            )(p_all[sl], P_all[sl], et_all[sl], cw[sl])
+            qs.append(np.asarray(vals))
+        return np.sqrt(np.abs(np.concatenate(qs)))
+
+    q_fac = diag_blocks()
+    keep = q_fac * q_fac.max() > screen_tol
+    sel = np.nonzero(keep)[0]
+    npair = len(sel)
+
+    p_s, P_s, et_s, cw_s = (
+        p_all[jnp.asarray(sel)],
+        P_all[jnp.asarray(sel)],
+        et_all[jnp.asarray(sel)],
+        cw[jnp.asarray(sel)],
+    )
+
+    W = np.zeros((npair, npair))
+    for sa in range(0, npair, block):
+        ea = min(sa + block, npair)
+        for sb in range(sa, npair, block):
+            eb = min(sb + block, npair)
+            blk = np.asarray(
+                run_block(
+                    p_s[sa:ea], P_s[sa:ea], et_s[sa:ea], cw_s[sa:ea],
+                    p_s[sb:eb], P_s[sb:eb], et_s[sb:eb], cw_s[sb:eb],
+                )
+            )
+            W[sa:ea, sb:eb] = blk
+            if sb != sa:
+                W[sb:eb, sa:ea] = blk.T
+    return (iu[sel], ju[sel]), W
+
+
+def eri_full(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = None):
+    """Full (nao, nao, nao, nao) spherical-AO ERI tensor (ref grid.py:65)."""
+    (pi_, pj_), W = eri_packed(basis, screen_tol, block)
+    n = basis.ncart
+    npair = len(pi_)
+    full = np.zeros((n, n, n, n))
+    # unpack pair symmetry: (ij|kl) = (ji|kl) = (ij|lk) = (ji|lk)
+    ii = np.repeat(pi_, npair)
+    jj = np.repeat(pj_, npair)
+    kk = np.tile(pi_, npair)
+    ll = np.tile(pj_, npair)
+    w = W.ravel()
+    for a, b in ((ii, jj), (jj, ii)):
+        for c, d in ((kk, ll), (ll, kk)):
+            full[a, b, c, d] = w
+    c2s = basis.c2s
+    if np.allclose(c2s, np.eye(n)):
+        return full
+    out = np.einsum("pi,qj,rk,sl,pqrs->ijkl", c2s, c2s, c2s, c2s, full, optimize=True)
+    return out
