@@ -1,0 +1,116 @@
+"""Benchmark entry point -- prints ONE JSON line.
+
+Headline metric (BASELINE.json): Benzene PBE SCF wall-clock to the
+reference convergence criteria (|dE| < 1e-8, ||dD|| < 1e-6; ref
+dft.py:243), measured on the SCF loop only (the reference's "Total Time",
+ref dft.py:245,258), after a warm-up run that pays compilation.  Also
+reports the per-call XC build time (the reference's "XC(Exc+Vxc) Time",
+ref dft.py:246-261) and the energy for sanity.
+
+Setup (integrals, grids, AO values) runs on the host CPU backend; the SCF
+hot loop runs on the default device (TPU when present).  vs_baseline is
+the speedup vs the reference's published number -- the reference publishes
+none (BASELINE.md), so the first recorded round is the baseline (1.0) and
+later rounds compare against BENCH_r1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+MOLECULE = os.environ.get("BENCH_MOLECULE", "Benzene")
+FUNCTIONAL = os.environ.get("BENCH_FUNCTIONAL", "GGA")
+GRID_LEVEL = int(os.environ.get("BENCH_GRID_LEVEL", "3"))
+BASELINE_S = os.environ.get("BENCH_BASELINE_S")  # optional reference seconds
+
+
+def main() -> int:
+    t_all = time.time()
+    cpu = jax.devices("cpu")[0]
+
+    with jax.default_device(cpu):
+        from quantum_compute_dft_tpu.mol import from_xyz_file
+        from quantum_compute_dft_tpu import kohn_sham
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, "molecules", MOLECULE + ".xyz")
+        mol = from_xyz_file(path)
+        setup = kohn_sham.prepare(mol, FUNCTIONAL, grid_level=GRID_LEVEL)
+
+    from quantum_compute_dft_tpu.scf.driver import make_system, scf_jit
+    from quantum_compute_dft_tpu.engine.xc_engine import xc_step
+
+    # re-place the system on the default (accelerator) device
+    sys_dev = make_system(
+        np.asarray(setup.sys.hcore),
+        np.asarray(setup.sys.s),
+        np.asarray(setup.sys.eri),
+        np.asarray(setup.sys.ao),
+        np.asarray(setup.sys.weights),
+        None if setup.sys.ao_grad is None else np.asarray(setup.sys.ao_grad),
+        setup.sys.e_nuc,
+        setup.sys.nocc,
+    )
+
+    # warm-up (compile)
+    dm, eb, n_iter, done = scf_jit(sys_dev, setup.functional)
+    jax.block_until_ready(dm)
+
+    # timed SCF
+    t0 = time.time()
+    dm, eb, n_iter, done = scf_jit(sys_dev, setup.functional)
+    jax.block_until_ready(dm)
+    scf_s = time.time() - t0
+
+    # XC per-call statistic on the converged density
+    exc, vxc = xc_step(setup.functional, dm, sys_dev.ao, sys_dev.weights,
+                       sys_dev.ao_grad)
+    jax.block_until_ready(vxc)
+    reps = 20
+    t0 = time.time()
+    for _ in range(reps):
+        exc, vxc = xc_step(setup.functional, dm, sys_dev.ao, sys_dev.weights,
+                           sys_dev.ao_grad)
+    jax.block_until_ready(vxc)
+    xc_ms = (time.time() - t0) / reps * 1000.0
+
+    # XC pipeline FLOP estimate: rho (2*G*N^2) + grad-rho (3 GEMM-likes) +
+    # B build + V GEMM (2*G*N^2)
+    G, N = sys_dev.ao.shape
+    flops = 2 * G * N * N * (2 + (4 if setup.functional.needs_grad else 0))
+    gflops = flops / (xc_ms / 1000.0) / 1e9
+
+    vs_baseline = 1.0
+    if BASELINE_S:
+        vs_baseline = float(BASELINE_S) / scf_s
+
+    result = {
+        "metric": f"{MOLECULE.lower()}_{setup.functional.name.lower()}_scf_wallclock",
+        "value": round(scf_s, 4),
+        "unit": "s",
+        "vs_baseline": round(vs_baseline, 4),
+        "extra": {
+            "e_tot": round(float(eb.e_tot), 8),
+            "converged": bool(done),
+            "n_iter": int(n_iter),
+            "nao": int(N),
+            "ngrid": int(G),
+            "xc_ms_per_call": round(xc_ms, 3),
+            "xc_gflops": round(gflops, 2),
+            "device": str(jax.devices()[0]),
+            "setup_s": round(setup.build_time, 2),
+            "total_s": round(time.time() - t_all, 2),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

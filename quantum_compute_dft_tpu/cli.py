@@ -1,0 +1,203 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface ``python dft.py {LDA,GGA,B3LYP} <Molecule>``
+(ref dft.py:101-116) with the same console UX -- banner, system info,
+per-cycle table (epoch / total energy / dE / d-density / HF exchange,
+ref dft.py:186-189,241), converged summary with the energy decomposition
+(ref dft.py:249-262) and per-iteration XC kernel statistics (ref
+dft.py:246-247,260-261) -- plus flags the reference hard-codes: grid level,
+convergence thresholds, max cycles, grid-file input (the init_grid path,
+ref grid.py:6-20), and an optional PySCF validation pass (ref
+dft.py:272-297) that activates only when PySCF is importable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="quantum_compute_dft_tpu",
+        description="TPU-native DFT (LDA/GGA/B3LYP) with a JAX/XLA/Pallas engine.",
+    )
+    p.add_argument(
+        "functional",
+        choices=["LDA", "GGA", "B3LYP", "HF", "PBE"],
+        help="Functional type (GGA == PBE; HF is a bonus over the reference)",
+    )
+    p.add_argument("xyzfile", help="Molecule name (e.g. H2O) or path to .xyz")
+    p.add_argument(
+        "--molecules-dir",
+        default=os.environ.get("DFT_MOLECULES_DIR", "./molecules"),
+        help="Directory with <name>.xyz geometries (default ./molecules)",
+    )
+    p.add_argument("--grid-level", type=int, default=3, help="Becke grid level 0-9")
+    p.add_argument("--no-prune", action="store_true", help="Disable grid pruning")
+    p.add_argument(
+        "--grid-file",
+        default=None,
+        help="6-column grid file (atom_idx x y z w w) overriding the native grid",
+    )
+    p.add_argument("--max-cycle", type=int, default=200)
+    p.add_argument("--conv-tol-e", type=float, default=1e-8)
+    p.add_argument("--conv-tol-d", type=float, default=1e-6)
+    p.add_argument("--charge", type=int, default=0)
+    p.add_argument(
+        "--jit-loop",
+        action="store_true",
+        help="Run the whole SCF as one on-device lax.while_loop (no per-cycle table)",
+    )
+    p.add_argument(
+        "--validate",
+        action="store_true",
+        help="Re-solve with PySCF and print the energy difference (needs pyscf)",
+    )
+    return p
+
+
+def resolve_molecule(args) -> str:
+    name = args.xyzfile if args.xyzfile.lower().endswith(".xyz") else args.xyzfile + ".xyz"
+    if os.path.exists(name):
+        return name
+    path = os.path.join(args.molecules_dir, name)
+    if not os.path.exists(path):
+        print(f"Error: {path} not found.")
+        sys.exit(1)
+    return path
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    atom_path = resolve_molecule(args)
+    mol_name = os.path.basename(atom_path)
+
+    print(f"=== TPU DFT | functional: {args.functional} | molecule: {mol_name} ===")
+    print("Building host data (basis, integrals, grid)...")
+
+    from quantum_compute_dft_tpu.mol import from_xyz_file
+    from quantum_compute_dft_tpu import kohn_sham
+    from quantum_compute_dft_tpu.engine.xc_engine import xc_step
+    from quantum_compute_dft_tpu.scf.driver import scf_host, scf_jit
+
+    mol = from_xyz_file(atom_path, charge=args.charge)
+    grid = None
+    if args.grid_file:
+        from quantum_compute_dft_tpu.grids import load_grid_file
+
+        grid = load_grid_file(args.grid_file)
+
+    setup = kohn_sham.prepare(
+        mol,
+        args.functional,
+        grid_level=args.grid_level,
+        grid=grid,
+        prune=not args.no_prune,
+    )
+    print(
+        f"System info: NAO={setup.nao}  grid points={setup.ngrid}  "
+        f"occupied={setup.nocc}  (build {setup.build_time:.2f}s)"
+    )
+
+    t_start = time.time()
+    if args.jit_loop:
+        dm, eb, n_iter, done = scf_jit(setup.sys, setup.functional,
+                                       max_cycle=args.max_cycle)
+        e_tot = float(eb.e_tot)
+        converged = bool(done)
+        n_iter = int(n_iter)
+    else:
+        print("\nSCF started")
+        print("-" * 80)
+        print(f"{'epoch':>5} {'total energy':>18} {'dE':>14} {'d-density':>14} {'HF_Ex':>12}")
+        print("-" * 80)
+
+        def cb(cycle, eb, de, dnorm):
+            print(
+                f"{cycle + 1:5d} {float(eb.e_tot):18.8f} {de:14.6e} "
+                f"{dnorm:14.6e} {float(eb.e_ex_hf):12.6f}"
+            )
+
+        res = scf_host(
+            setup.sys,
+            setup.functional,
+            callback=cb,
+            max_cycle=args.max_cycle,
+            conv_tol_e=args.conv_tol_e,
+            conv_tol_d=args.conv_tol_d,
+        )
+        eb, e_tot, converged, n_iter, dm = (
+            res.energy, res.e_tot, res.converged, res.n_iter, res.dm,
+        )
+    total_time = time.time() - t_start
+
+    # standalone XC kernel statistic (the reference's "XC(Exc+Vxc) Time",
+    # ref dft.py:205-208): time the jitted XC step on the converged density.
+    import jax
+
+    exc, vxc = xc_step(setup.functional, dm, setup.sys.ao, setup.sys.weights,
+                       setup.sys.ao_grad)
+    jax.block_until_ready(vxc)
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        exc, vxc = xc_step(setup.functional, dm, setup.sys.ao,
+                           setup.sys.weights, setup.sys.ao_grad)
+    jax.block_until_ready(vxc)
+    xc_ms = (time.time() - t0) / reps * 1000.0
+
+    print("-" * 80)
+    if converged:
+        print(f"Converged in {n_iter} cycles")
+    else:
+        print("SCF did not converge")
+    print(f"Total energy : {e_tot:.8f} Ha")
+    print(f"  E_one      : {float(eb.e_one):.8f} Ha")
+    print(f"  E_coul     : {float(eb.e_coul):.8f} Ha")
+    print(f"  E_nuc      : {setup.sys.e_nuc:.8f} Ha")
+    print(f"  E_xc       : {float(eb.e_xc):.8f} Ha")
+    if setup.functional.hyb_coeff:
+        print(f"  E_ex_hf    : {float(eb.e_ex_hf):.8f} Ha")
+    print(f"SCF time     : {total_time:.4f} s")
+    print("-" * 80)
+    print("Kernel statistics (avg per call):")
+    print(f"  XC(Exc+Vxc): {xc_ms:.4f} ms")
+    print("-" * 80)
+
+    if args.validate:
+        _validate(mol, args.functional, e_tot, atom_path)
+    return 0 if converged else 2
+
+
+def _validate(mol, functional, e_tot, atom_path):
+    """Optional PySCF oracle comparison (ref dft.py:272-297)."""
+    try:
+        from pyscf import gto, dft as pyscf_dft
+    except ImportError:
+        print("PySCF not available in this environment; skipping validation.")
+        return
+    xc = {"LDA": "slater,vwn5", "GGA": "PBE,PBE", "PBE": "PBE,PBE",
+          "B3LYP": "b3lyp", "HF": "hf"}[functional]
+    m = gto.Mole()
+    with open(atom_path) as f:
+        lines = f.readlines()
+    m.atom = "".join(lines[2:])
+    m.basis = "sto-3g"
+    m.verbose = 0
+    m.build()
+    mf = pyscf_dft.RKS(m)
+    mf.xc = xc
+    t0 = time.time()
+    mf.kernel()
+    print(f"PySCF ({xc}) energy : {mf.e_tot:.8f} Ha")
+    print(f"difference          : {abs(mf.e_tot - e_tot):.2e} Ha")
+    print(f"PySCF time          : {time.time() - t0:.4f} s")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""AO values (and gradients) at grid points.
+
+Native replacement for PySCF's ``numint.eval_ao`` with deriv=0/1 used by
+the reference (ref grid.py:30-31,38).  Evaluates the flat primitive-term
+table from basis_set.py:
+
+    phi_ao(r) = sum_t  w[ao,t] * dx^px dy^py dz^pz * exp(-alpha[ao,t] |d|^2)
+
+with d = r - center[ao] -- pure elementwise/broadcast work that XLA maps
+onto the VPU; the Pallas performance path (engine/pallas_xc.py) fuses the
+same table evaluation into the XC pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantum_compute_dft_tpu.basis.basis_set import BasisSet
+
+
+@functools.partial(jax.jit, static_argnames=("with_grad",))
+def _eval_chunk(coords, centers, powers, alphas, weights, with_grad: bool):
+    # coords (G,3); centers (nao,3); powers (nao,T,3); alphas/weights (nao,T)
+    d = coords[:, None, :] - centers[None, :, :]          # (G, nao, 3)
+    r2 = jnp.sum(d * d, axis=-1)                          # (G, nao)
+    ex = jnp.exp(-alphas[None, :, :] * r2[:, :, None])    # (G, nao, T)
+
+    p = powers[None, :, :, :]                             # (1, nao, T, 3)
+    dxyz = d[:, :, None, :]                               # (G, nao, 1, 3)
+    mono = jnp.prod(dxyz ** p, axis=-1)                   # (G, nao, T)
+    w = weights[None, :, :]
+    ao = jnp.sum(w * mono * ex, axis=-1)                  # (G, nao)
+    if not with_grad:
+        return ao, None
+
+    # d/dk of each term: (p_k d_k^{p_k-1} - 2 a d_k^{p_k+1}) * (other dims)
+    grads = []
+    pm1 = jnp.maximum(p - 1, 0)
+    for k in range(3):
+        dk = dxyz[..., k]
+        poly_dk = jnp.where(p[..., k] > 0, p[..., k] * dk ** pm1[..., k], 0.0)
+        other = jnp.prod(
+            jnp.stack(
+                [dxyz[..., m] ** p[..., m] for m in range(3) if m != k], -1
+            ),
+            axis=-1,
+        )
+        dmono = (poly_dk - 2.0 * alphas[None] * dk ** (p[..., k] + 1)) * other
+        grads.append(jnp.sum(w * dmono * ex, axis=-1))
+    return ao, jnp.stack(grads)                           # (G,nao), (3,G,nao)
+
+
+def eval_ao(
+    basis: BasisSet,
+    coords: np.ndarray,
+    deriv: int = 0,
+    chunk: int = 16384,
+):
+    """-> ao (ngrid, nao) [deriv=0] or (ao, ao_grad (3, ngrid, nao)) [deriv=1].
+
+    ao_grad uses the reference's planar layout (ref dft.py:136-142).
+    """
+    centers = jnp.asarray(basis.ao_centers)
+    powers = jnp.asarray(basis.term_powers)
+    alphas = jnp.asarray(basis.term_alphas)
+    weights = jnp.asarray(basis.term_weights)
+
+    n = coords.shape[0]
+    aos, gs = [], []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        ao, g = _eval_chunk(
+            jnp.asarray(coords[s:e]), centers, powers, alphas, weights,
+            deriv >= 1,
+        )
+        aos.append(np.asarray(ao))
+        if deriv >= 1:
+            gs.append(np.asarray(g))
+    ao = np.concatenate(aos)
+    if deriv == 0:
+        return ao
+    return ao, np.concatenate(gs, axis=1)

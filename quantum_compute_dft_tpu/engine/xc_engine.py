@@ -1,0 +1,61 @@
+"""XC engine: density on the grid, E_xc, and the V_xc matrix.
+
+The TPU-native replacement for the reference's CUDA ``XCSolver`` pipeline
+(ref src/dft_solver.cu:559-672):
+
+    rho_g   = sum_uv D_uv phi_u(g) phi_v(g)        (get_rho_kernel :294-307)
+    grad-rho, sigma for GGAs                       (get_rho_sigma_... :346-380)
+    e_g     = rho_g * eps_xc(rho_g, sigma_g)       (the *_fused_kernel family)
+    E_xc    = sum_g w_g e_g                        (reduce_sum_kernel :285-292)
+    B_gi    = w_g (vrho_g phi_i + 2 vsigma_g grad-rho . grad-phi_i)
+    V_xc    = phi^T B, symmetrized                 (cublasDgemm :580,616,663)
+
+Here everything is jnp: rho via (phi @ D) . phi row-dots and V_xc as one
+MXU GEMM; XLA fuses the elementwise functional into the pipeline.  The
+whole step is jit-compiled and differentiable.  A Pallas fused-tile
+variant lives in engine/pallas_xc.py.
+
+Unlike the reference (which builds an asymmetric V then symmetrizes,
+:515-527 + ref dft.py:212), the B matrix here uses the symmetric form
+directly; results agree to roundoff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from quantum_compute_dft_tpu.xc.functionals import Functional
+
+
+@functools.partial(jax.jit, static_argnames=("functional",))
+def xc_step(
+    functional: Functional,
+    dm: jnp.ndarray,          # (nao, nao)
+    ao: jnp.ndarray,          # (ngrid, nao)
+    weights: jnp.ndarray,     # (ngrid,)
+    ao_grad: jnp.ndarray | None = None,   # (3, ngrid, nao) planar layout
+):
+    """-> (E_xc scalar, V_xc (nao, nao) symmetric)."""
+    phi_d = ao @ dm                                   # (ngrid, nao)
+    rho = jnp.einsum("gi,gi->g", phi_d, ao)
+
+    if functional.needs_grad:
+        # grad rho_k = 2 sum_uv D_uv dphi_u/dk phi_v  (D symmetric)
+        grad_rho = 2.0 * jnp.einsum("kgi,gi->kg", ao_grad, phi_d)  # (3, ngrid)
+        sigma = jnp.einsum("kg,kg->g", grad_rho, grad_rho)
+        e, vrho, vsigma = functional.exc_vxc(rho, sigma)
+        exc = weights @ e
+        # B_gi = w (vrho phi_i + 2 vsigma grad-rho . grad-phi_i)
+        gdot = jnp.einsum("kg,kgi->gi", grad_rho, ao_grad)
+        b = weights[:, None] * (vrho[:, None] * ao + 2.0 * vsigma[:, None] * gdot)
+    else:
+        e, vrho, _ = functional.exc_vxc(rho)
+        exc = weights @ e
+        b = (weights * vrho)[:, None] * ao
+
+    v_half = ao.T @ b                                 # MXU GEMM (nao x nao)
+    vxc = 0.5 * (v_half + v_half.T)
+    return exc, vxc

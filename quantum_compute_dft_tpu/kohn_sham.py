@@ -1,0 +1,86 @@
+"""High-level restricted Kohn-Sham API.
+
+One-call equivalent of the reference's whole driver pipeline
+(ref dft.py:101-269): build molecule data (grid.build, ref grid.py:42-67),
+AO values/gradients (ref grid.py:23-39), upload, SCF, report.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from quantum_compute_dft_tpu.basis import build_basis
+from quantum_compute_dft_tpu.engine.ao_eval import eval_ao
+from quantum_compute_dft_tpu.grids import Grid, build_grid
+from quantum_compute_dft_tpu.integrals import eri_full, one_electron
+from quantum_compute_dft_tpu.mol import Molecule
+from quantum_compute_dft_tpu.scf.driver import (
+    SCFResult,
+    SCFSystem,
+    make_system,
+    scf_host,
+)
+from quantum_compute_dft_tpu.xc.functionals import FUNCTIONALS, Functional
+
+
+@dataclasses.dataclass
+class KSSetup:
+    sys: SCFSystem
+    functional: Functional
+    nao: int
+    ngrid: int
+    nocc: int
+    build_time: float
+    grid: Grid
+
+
+def prepare(
+    mol: Molecule,
+    functional: str | Functional = "LDA",
+    grid_level: int = 3,
+    grid: Grid | None = None,
+    prune: bool = True,
+) -> KSSetup:
+    """CPU/host data build + device upload (ref dft.py:118-176)."""
+    t0 = time.time()
+    fn = FUNCTIONALS[functional.upper()] if isinstance(functional, str) else functional
+
+    basis = build_basis(mol)
+    s, t, v = one_electron(basis, mol.coords, mol.charges)
+    hcore = t + v
+    eri = eri_full(basis)
+    if grid is None:
+        grid = build_grid(mol, level=grid_level, prune=prune)
+
+    if fn.needs_grad:
+        ao, ao_grad = eval_ao(basis, grid.coords, deriv=1)
+    else:
+        ao = eval_ao(basis, grid.coords, deriv=0)
+        ao_grad = None
+
+    sys = make_system(
+        hcore, s, eri, ao, grid.weights, ao_grad, mol.energy_nuc(), mol.nocc
+    )
+    return KSSetup(
+        sys=sys,
+        functional=fn,
+        nao=basis.nao,
+        ngrid=grid.ngrid,
+        nocc=mol.nocc,
+        build_time=time.time() - t0,
+        grid=grid,
+    )
+
+
+def run(
+    mol: Molecule,
+    functional: str | Functional = "LDA",
+    grid_level: int = 3,
+    callback=None,
+    **kwargs,
+) -> SCFResult:
+    setup = prepare(mol, functional, grid_level=grid_level)
+    return scf_host(setup.sys, setup.functional, callback=callback, **kwargs)

@@ -1,0 +1,106 @@
+"""SCF driver tests: literature anchors, host/jit agreement, DIIS, CLI."""
+
+import numpy as np
+import pytest
+
+from quantum_compute_dft_tpu import kohn_sham
+from quantum_compute_dft_tpu.mol import from_atoms, from_xyz_text
+from quantum_compute_dft_tpu.scf.driver import scf_host, scf_jit
+from quantum_compute_dft_tpu.xc import FUNCTIONALS
+
+H2O = [
+    ("O", (0.0, 0.0, 0.127)),
+    ("H", (0.0, 0.758, -0.509)),
+    ("H", (0.0, -0.758, -0.509)),
+]
+
+
+@pytest.fixture(scope="module")
+def h2o_setups():
+    mol = from_atoms(H2O)
+    return {f: kohn_sham.prepare(mol, f, grid_level=2)
+            for f in ("HF", "LDA", "GGA", "B3LYP")}
+
+
+def test_hf_machinery_hits_literature(h2o_setups):
+    # the HF path exercises SCF + DIIS + eigensolver + J + K exactly
+    s = h2o_setups["HF"]
+    res = scf_host(s.sys, s.functional)
+    assert res.converged
+    assert abs(res.e_tot - (-74.965901)) < 1e-5
+
+
+def test_all_functionals_converge(h2o_setups):
+    expected_range = {
+        "LDA": (-74.80, -74.68),
+        "GGA": (-75.30, -75.17),
+        "B3LYP": (-75.38, -75.26),
+    }
+    for name, (lo, hi) in expected_range.items():
+        s = h2o_setups[name]
+        res = scf_host(s.sys, s.functional)
+        assert res.converged, name
+        assert lo < res.e_tot < hi, (name, res.e_tot)
+
+
+def test_jit_loop_matches_host_loop(h2o_setups):
+    s = h2o_setups["B3LYP"]
+    res = scf_host(s.sys, s.functional)
+    dm, eb, n_iter, done = scf_jit(s.sys, s.functional)
+    assert bool(done)
+    assert abs(float(eb.e_tot) - res.e_tot) < 1e-9
+
+
+def test_energy_decomposition_sums(h2o_setups):
+    s = h2o_setups["B3LYP"]
+    res = scf_host(s.sys, s.functional)
+    eb = res.energy
+    total = (
+        float(eb.e_one) + float(eb.e_coul) + float(eb.e_xc)
+        + float(eb.e_ex_hf) + s.sys.e_nuc
+    )
+    assert abs(total - res.e_tot) < 1e-10
+
+
+def test_grid_insensitivity_lda():
+    # energies should move < 1e-4 between level 2 and level 3
+    mol = from_atoms(H2O)
+    e = []
+    for level in (2, 3):
+        res = kohn_sham.run(mol, "LDA", grid_level=level)
+        assert res.converged
+        e.append(res.e_tot)
+    assert abs(e[0] - e[1]) < 1e-4
+
+
+def test_charged_molecule():
+    # H3O+ : closed shell with charge +1
+    h3o = [
+        ("O", (0.0, 0.0, 0.0)),
+        ("H", (0.0, 0.94, -0.25)),
+        ("H", (0.81, -0.47, -0.25)),
+        ("H", (-0.81, -0.47, -0.25)),
+    ]
+    res = kohn_sham.run(from_atoms(h3o, charge=1), "LDA", grid_level=1)
+    assert res.converged
+    assert -76.0 < res.e_tot < -74.0
+
+
+def test_cli_end_to_end(capsys, tmp_path):
+    from quantum_compute_dft_tpu.cli import main
+
+    xyz = tmp_path / "h2.xyz"
+    xyz.write_text("2\nH2\nH 0 0 0\nH 0 0 0.74084823\n")
+    rc = main(["LDA", str(xyz), "--grid-level", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Converged" in out
+    assert "Total energy" in out
+    assert "XC(Exc+Vxc)" in out
+
+
+def test_cli_unknown_molecule(tmp_path, capsys):
+    from quantum_compute_dft_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["LDA", "NoSuchMolecule", "--molecules-dir", str(tmp_path)])

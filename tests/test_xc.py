@@ -1,0 +1,93 @@
+"""XC functional tests: spot values, finite-difference potentials, floors."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quantum_compute_dft_tpu.xc import (
+    B3LYP, GGA, HF, LDA, b88_x_corr, lyp_c, pbe_c, pbe_x, slater_x, vwn5_c,
+    vwn_rpa_c, pw92_c,
+)
+
+
+def test_slater_spot():
+    # eps_x(rho=1) = -(3/4)(3/pi)^(1/3)
+    assert abs(float(slater_x(1.0)) - (-0.7385587663820224)) < 1e-15
+
+
+def test_pbe_x_reduces_to_slater_at_zero_gradient():
+    rho = jnp.asarray([0.3, 1.0, 5.0])
+    assert np.allclose(pbe_x(rho, jnp.zeros(3)), slater_x(rho), atol=1e-14)
+
+
+def test_b88_vanishes_at_zero_gradient():
+    assert abs(float(b88_x_corr(1.0, 1e-30))) < 1e-14
+
+
+def _fd_check(fn, rho, sigma=None, tol=1e-6):
+    if fn.needs_grad:
+        e, vr, vs = fn.exc_vxc(rho, sigma)
+        h = 1e-6
+        e1, _, _ = fn.exc_vxc(rho * (1 + h), sigma)
+        e2, _, _ = fn.exc_vxc(rho * (1 - h), sigma)
+        fd_vr = (e1 - e2) / (2 * h * rho)
+        s1, _, _ = fn.exc_vxc(rho, sigma * (1 + h))
+        s2, _, _ = fn.exc_vxc(rho, sigma * (1 - h))
+        fd_vs = (s1 - s2) / (2 * h * sigma)
+        assert np.allclose(fd_vr, vr, rtol=tol, atol=1e-12), fn.name
+        # atol loosened: central differences bottom out near 1e-11 here
+        assert np.allclose(fd_vs, vs, rtol=1e-5, atol=1e-10), fn.name
+    else:
+        e, vr, _ = fn.exc_vxc(rho)
+        h = 1e-6
+        e1, _, _ = fn.exc_vxc(rho * (1 + h))
+        e2, _, _ = fn.exc_vxc(rho * (1 - h))
+        fd = (e1 - e2) / (2 * h * rho)
+        assert np.allclose(fd, vr, rtol=tol, atol=1e-12), fn.name
+
+
+def test_potentials_match_finite_differences():
+    rho = jnp.asarray([0.05, 0.5, 1.0, 3.0, 20.0])
+    sigma = jnp.asarray([0.02, 0.3, 1.0, 8.0, 100.0])
+    for fn in (LDA, GGA, B3LYP):
+        _fd_check(fn, rho, sigma)
+
+
+def test_floors_produce_exact_zeros_without_nans():
+    rho = jnp.asarray([0.0, 1e-14, 1.0])
+    sigma = jnp.asarray([0.0, 1e-25, 1e-25])
+    for fn in (LDA, GGA, B3LYP):
+        e, vr, vs = fn.exc_vxc(rho, sigma if fn.needs_grad else None)
+        assert not np.any(np.isnan(e))
+        assert not np.any(np.isnan(vr))
+        assert float(e[0]) == 0.0 and float(e[1]) == 0.0
+        if vs is not None:
+            assert not np.any(np.isnan(vs))
+
+
+def test_b3lyp_mix_composition():
+    # the mix must equal its parts with the reference coefficients
+    rho, sigma = jnp.asarray([1.3]), jnp.asarray([0.7])
+    e, _, _ = B3LYP.exc_vxc(rho, sigma)
+    expect = rho * (
+        0.80 * slater_x(rho)
+        + 0.72 * b88_x_corr(0.5 * rho, 0.25 * sigma)
+        + 0.19 * vwn_rpa_c(rho)
+        + 0.81 * lyp_c(rho, sigma)
+    )
+    assert abs(float(e[0]) - float(expect[0])) < 1e-14
+
+
+def test_hf_functional_is_pure_exchange():
+    assert HF.hyb_coeff == 1.0
+    e, vr, _ = HF.exc_vxc(jnp.asarray([1.0, 2.0]))
+    assert float(jnp.abs(e).max()) == 0.0
+
+
+def test_vwn_variants_differ():
+    rho = jnp.asarray(1.0)
+    assert abs(float(vwn5_c(rho)) - float(vwn_rpa_c(rho))) > 1e-3
+
+
+def test_pw92_inside_pbe_c_at_zero_gradient():
+    rho = jnp.asarray([0.4, 2.0])
+    assert np.allclose(pbe_c(rho, jnp.zeros(2)), pw92_c(rho), atol=1e-13)
