@@ -21,6 +21,11 @@ import os
 import sys
 import time
 
+os.environ.setdefault(
+    "DFT_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import jax
 import numpy as np
 
@@ -43,8 +48,9 @@ def main() -> int:
         mol = from_xyz_file(path)
         setup = kohn_sham.prepare(mol, FUNCTIONAL, grid_level=GRID_LEVEL)
 
-    from quantum_compute_dft_tpu.scf.driver import make_system, scf_jit
+    from quantum_compute_dft_tpu.scf.driver import make_system, scf_host_staged
     from quantum_compute_dft_tpu.engine.xc_engine import xc_step
+    from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
     # re-place the system on the default (accelerator) device
     sys_dev = make_system(
@@ -58,15 +64,15 @@ def main() -> int:
         setup.sys.nocc,
     )
 
-    # warm-up (compile)
-    dm, eb, n_iter, done = scf_jit(sys_dev, setup.functional)
-    jax.block_until_ready(dm)
+    # warm-up (compile; staged dispatches keep the remote TPU compiler fast)
+    res = scf_host_staged(sys_dev, setup.functional)
 
-    # timed SCF
+    # timed SCF (the reference's "Total Time", ref dft.py:245)
+    timer = PhaseTimer()
     t0 = time.time()
-    dm, eb, n_iter, done = scf_jit(sys_dev, setup.functional)
-    jax.block_until_ready(dm)
+    res = scf_host_staged(sys_dev, setup.functional, timer=timer)
     scf_s = time.time() - t0
+    dm, eb, n_iter, done = res.dm, res.energy, res.n_iter, res.converged
 
     # XC per-call statistic on the converged density
     exc, vxc = xc_step(setup.functional, dm, sys_dev.ao, sys_dev.weights,

@@ -54,6 +54,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="Run the whole SCF as one on-device lax.while_loop (no per-cycle table)",
     )
     p.add_argument(
+        "--staged",
+        action="store_true",
+        help="Dispatch each SCF phase as its own jitted call (fast TPU compiles); "
+        "auto-enabled on non-CPU backends",
+    )
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="Path to save the converged density (.npz); if the file exists, "
+        "resume from it",
+    )
+    p.add_argument(
         "--validate",
         action="store_true",
         help="Re-solve with PySCF and print the energy difference (needs pyscf)",
@@ -83,7 +95,16 @@ def main(argv=None) -> int:
     from quantum_compute_dft_tpu.mol import from_xyz_file
     from quantum_compute_dft_tpu import kohn_sham
     from quantum_compute_dft_tpu.engine.xc_engine import xc_step
-    from quantum_compute_dft_tpu.scf.driver import scf_host, scf_jit
+    from quantum_compute_dft_tpu.scf.driver import (
+        scf_host,
+        scf_host_staged,
+        scf_jit,
+    )
+    from quantum_compute_dft_tpu.scf.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    import jax as _jax
 
     mol = from_xyz_file(atom_path, charge=args.charge)
     grid = None
@@ -104,6 +125,14 @@ def main(argv=None) -> int:
         f"occupied={setup.nocc}  (build {setup.build_time:.2f}s)"
     )
 
+    dm0 = None
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        ck = load_checkpoint(args.checkpoint)
+        if ck["dm"].shape[0] == setup.nao:
+            dm0 = ck["dm"]
+            print(f"Resuming from checkpoint {args.checkpoint} "
+                  f"(cycle {ck['cycle']}, E={ck['e_tot']:.8f})")
+
     t_start = time.time()
     if args.jit_loop:
         dm, eb, n_iter, done = scf_jit(setup.sys, setup.functional,
@@ -123,18 +152,25 @@ def main(argv=None) -> int:
                 f"{dnorm:14.6e} {float(eb.e_ex_hf):12.6f}"
             )
 
-        res = scf_host(
+        staged = args.staged or _jax.default_backend() != "cpu"
+        runner = scf_host_staged if staged else scf_host
+        res = runner(
             setup.sys,
             setup.functional,
             callback=cb,
             max_cycle=args.max_cycle,
             conv_tol_e=args.conv_tol_e,
             conv_tol_d=args.conv_tol_d,
+            dm0=dm0,
         )
         eb, e_tot, converged, n_iter, dm = (
             res.energy, res.e_tot, res.converged, res.n_iter, res.dm,
         )
     total_time = time.time() - t_start
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, dm, e_tot, n_iter,
+                        setup.functional.name, mol_name)
 
     # standalone XC kernel statistic (the reference's "XC(Exc+Vxc) Time",
     # ref dft.py:205-208): time the jitted XC step on the converged density.

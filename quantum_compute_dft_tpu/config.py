@@ -12,6 +12,16 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the axon remote compiler takes minutes for
+# large f64 graphs (measured 328 s for one fused SCF iteration); caching
+# makes every run after the first start in seconds.  Enabled only for
+# TPU-bearing processes -- sharing one cache dir across heterogeneous CPU
+# processes triggers mismatched-machine AOT loads (SIGILL risk).
+_cache_dir = os.environ.get("DFT_JAX_CACHE", "")
+if _cache_dir and _cache_dir != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 # Default dtype for the parity path.
 DTYPE = "float64"
 

@@ -1,0 +1,5 @@
+from quantum_compute_dft_tpu.runtime.ffi import (  # noqa: F401
+    HostSolverWrapper,
+    build_library,
+    library_path,
+)

@@ -127,6 +127,79 @@ def initial_guess(sys: SCFSystem) -> jnp.ndarray:
     return _density(sys.x, sys.hcore, sys.nocc)
 
 
+# ---------------------------------------------------------------------------
+# Staged iteration: the same cycle as scf_iteration but dispatched as a few
+# separately-jitted programs.  The axon remote TPU compiler is superlinear
+# in graph size (measured: pieces ~25 s total vs 328 s fused for LDA/H2O),
+# so on TPU the staged path compiles ~13x faster at negligible dispatch
+# cost; results are bitwise-identical math.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nocc", "c_hf"))
+def _assemble_solve(hcore, s, x, j, vxc, k, dm, f_buf, e_buf, nsaved,
+                    e_xc, e_nuc, nocc: int, c_hf: float):
+    f = hcore + j + vxc - 0.5 * c_hf * k if c_hf != 0.0 else hcore + j + vxc
+    diis, f = diis_update(DIISState(f_buf, e_buf, nsaved), f, dm, s, x)
+    dm_new = _density(x, f, nocc)
+    e_one = jnp.sum(dm_new * hcore)
+    e_coul = 0.5 * jnp.sum(dm_new * j)
+    e_ex = -0.25 * c_hf * jnp.sum(dm_new * k)
+    e_tot = e_one + e_coul + e_xc + e_ex + e_nuc
+    dnorm = jnp.linalg.norm(dm_new - dm)
+    return dm_new, diis, EnergyBreakdown(e_tot, e_one, e_coul, e_xc, e_ex), dnorm
+
+
+def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
+                         diis: DIISState, timer=None):
+    """One SCF cycle as separate jitted dispatches (TPU-compile friendly)."""
+    from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
+
+    timer = timer or PhaseTimer()
+    c_hf = functional.hyb_coeff
+    with timer.phase("coulomb"):
+        j = coulomb_full(sys.eri, dm)
+    with timer.phase("xc", sync=None):
+        e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
+        jax.block_until_ready(vxc)
+    k = exchange_full(sys.eri, dm) if c_hf != 0.0 else jnp.zeros_like(j)
+    with timer.phase("fock+solve"):
+        dm_new, diis, eb, dnorm = _assemble_solve(
+            sys.hcore, sys.s, sys.x, j, vxc, k, dm,
+            diis.f_buf, diis.e_buf, diis.nsaved,
+            e_xc, jnp.asarray(sys.e_nuc), sys.nocc, c_hf,
+        )
+    return dm_new, diis, eb, dnorm
+
+
+def scf_host_staged(
+    sys: SCFSystem,
+    functional: Functional,
+    callback: Callable | None = None,
+    max_cycle: int = MAX_CYCLE,
+    conv_tol_e: float = CONV_TOL_E,
+    conv_tol_d: float = CONV_TOL_D,
+    dm0: jnp.ndarray | None = None,
+    timer=None,
+) -> SCFResult:
+    dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
+    diis = diis_init(dm.shape[0])
+    e_old = 0.0
+    for cycle in range(max_cycle):
+        dm_new, diis, eb, dnorm_dev = scf_iteration_staged(
+            sys, functional, dm, diis, timer=timer
+        )
+        de = float(eb.e_tot) - e_old
+        dnorm = float(dnorm_dev)
+        if callback:
+            callback(cycle, eb, de, dnorm)
+        if abs(de) < conv_tol_e and dnorm < conv_tol_d:
+            return SCFResult(True, cycle + 1, dm_new, eb, float(eb.e_tot))
+        dm = dm_new
+        e_old = float(eb.e_tot)
+    return SCFResult(False, max_cycle, dm, eb, float(eb.e_tot))
+
+
 @dataclasses.dataclass
 class SCFResult:
     converged: bool
@@ -143,8 +216,9 @@ def scf_host(
     max_cycle: int = MAX_CYCLE,
     conv_tol_e: float = CONV_TOL_E,
     conv_tol_d: float = CONV_TOL_D,
+    dm0: jnp.ndarray | None = None,
 ) -> SCFResult:
-    dm = initial_guess(sys)
+    dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
     e_old = 0.0
     for cycle in range(max_cycle):

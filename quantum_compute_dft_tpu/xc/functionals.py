@@ -96,21 +96,33 @@ def pw92_c(rho):
 
 def pbe_x(rho, sigma):
     kappa, mu = 0.804, 0.2195149727645171
-    kf2 = (3.0 * pi * pi * rho) ** (2.0 / 3.0)
-    s2 = jnp.minimum(sigma / (4.0 * kf2 * rho * rho), 1e12)
+    kf = (3.0 * pi * pi * rho) ** (1.0 / 3.0)
+    # s = |grad rho| / (2 kf rho), assembled as a single ratio so autodiff
+    # never squares a denormal-scale denominator (f32 Pallas path safety)
+    s = jnp.sqrt(sigma) / (2.0 * kf * rho)
+    s2 = jnp.minimum(s * s, 1e12)
     F = 1.0 + kappa * (1.0 - 1.0 / (1.0 + mu * s2 / kappa))
     return -_CX * rho ** (1.0 / 3.0) * F
 
 
 def pbe_c(rho, sigma):
     beta, gamma_ = 0.066725, _A_PW92
+    # clamps follow the reference (1e20, dft_solver.cu:256,260) in f64; the
+    # f32 Pallas path needs tighter ones so A*t2 squared stays finite -- H
+    # is already saturated far below either bound, so results are unchanged
+    big = 1e20 if jnp.result_type(rho) == jnp.float64 else 1e8
     ec_lda = pw92_c(rho)
     kf = (3.0 * pi * pi * rho) ** (1.0 / 3.0)
-    t2 = jnp.minimum(sigma * pi / (16.0 * kf * rho * rho), 1e20)
+    # t = sqrt(sigma pi) / (4 sqrt(kf) rho): single well-scaled ratio (see
+    # pbe_x note on f32 autodiff safety)
+    t = jnp.sqrt(sigma * pi) / (4.0 * jnp.sqrt(kf) * rho)
+    t2 = jnp.minimum(t * t, big)
     expm1x = jnp.expm1(-ec_lda / gamma_)
+    tiny = 1.0 / big
     A = (beta / gamma_) / jnp.where(
-        jnp.abs(expm1x) < 1e-20, jnp.sign(expm1x) * 1e-20 + 1e-30, expm1x
+        jnp.abs(expm1x) < tiny, jnp.sign(expm1x) * tiny + tiny * 1e-8, expm1x
     )
+    A = jnp.minimum(A, big)
     at2 = A * t2
     Q = (1.0 + at2) / (1.0 + at2 + at2 * at2)
     H = gamma_ * jnp.log(1.0 + (beta / gamma_) * t2 * Q)

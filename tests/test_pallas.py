@@ -1,0 +1,67 @@
+"""Pallas fused XC kernel tests (interpret mode on CPU).
+
+Real-TPU compilation of the same kernel is exercised by bench.py; here the
+kernel logic runs through the Pallas interpreter and must match the f64
+reference engine to f32 accuracy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import quantum_compute_dft_tpu.engine.pallas_xc as px
+from quantum_compute_dft_tpu import kohn_sham
+from quantum_compute_dft_tpu.engine.xc_engine import xc_step
+from quantum_compute_dft_tpu.mol import from_atoms
+from quantum_compute_dft_tpu.scf.driver import initial_guess
+
+H2O = [
+    ("O", (0.0, 0.0, 0.127)),
+    ("H", (0.0, 0.758, -0.509)),
+    ("H", (0.0, -0.758, -0.509)),
+]
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(px.pl, "pallas_call", patched)
+
+
+@pytest.mark.parametrize("functional", ["LDA", "GGA", "B3LYP"])
+def test_pallas_matches_f64_engine(functional):
+    setup = kohn_sham.prepare(from_atoms(H2O), functional, grid_level=1)
+    dm = initial_guess(setup.sys)
+    e_ref, v_ref = xc_step(
+        setup.functional, dm, setup.sys.ao, setup.sys.weights, setup.sys.ao_grad
+    )
+    e_p, v_p = px.xc_step_pallas(
+        setup.functional, dm, setup.sys.ao, setup.sys.weights,
+        setup.sys.ao_grad, tile=512,
+    )
+    assert not np.isnan(float(e_p))
+    assert abs(float(e_p) - float(e_ref)) < 5e-5 * abs(float(e_ref))
+    dv = float(jnp.abs(v_p - v_ref).max())
+    assert dv < 5e-5, dv
+
+
+def test_pallas_f32_no_nan_over_extreme_inputs():
+    from quantum_compute_dft_tpu.engine.pallas_xc import _functional_eval
+    from quantum_compute_dft_tpu.xc import GGA, B3LYP
+
+    r = np.concatenate([[0.0], 10.0 ** np.linspace(-12, 4, 40)]).astype(np.float32)
+    s = np.concatenate([[0.0], 10.0 ** np.linspace(-20, 8, 40)]).astype(np.float32)
+    R, S = np.meshgrid(r, s)
+    rho, sig = jnp.asarray(R.ravel()), jnp.asarray(S.ravel())
+    for fn in (GGA, B3LYP):
+        e, vr, vs = _functional_eval(fn, rho, sig)
+        for arr in (e, vr, vs):
+            a = np.asarray(arr)
+            assert np.isfinite(a).all(), fn.name
