@@ -49,21 +49,32 @@ def diis_update(state: DIISState, f, dm, s, x):
     used = (jnp.arange(m) < nused).astype(f.dtype)
     b_inner = e_buf @ e_buf.T                           # (M, M)
     mask2 = used[:, None] * used[None, :]
-    # unused slots -> identity rows/cols so the solve stays well posed
-    b_inner = b_inner * mask2 + jnp.diag(1.0 - used)
-    # ridge for near-linear-dependence
-    b_inner = b_inner + 1e-14 * jnp.eye(m, dtype=f.dtype)
+    b_inner = b_inner * mask2
 
-    b = jnp.zeros((m + 1, m + 1), f.dtype)
-    b = b.at[:m, :m].set(b_inner)
-    b = b.at[:m, m].set(-used)
-    b = b.at[m, :m].set(-used)
-    rhs = jnp.zeros(m + 1, f.dtype).at[m].set(-1.0)
-    # symmetric pseudo-solve via eigh: TPU XLA has no f64 LU custom call,
-    # and the thresholded inverse also guards near-singular DIIS systems
-    w_eig, v_eig = jnp.linalg.eigh(b)
-    inv = jnp.where(jnp.abs(w_eig) > 1e-14, 1.0 / w_eig, 0.0)
-    coef = (v_eig @ (inv * (v_eig.T @ rhs)))[:m] * used
+    # Solve min c^T B c subject to sum(c) = 1 via the truncated
+    # pseudo-inverse: c = B+ 1 / (1^T B+ 1).  B is scaled to unit norm and
+    # eigendirections below a *relative* threshold are dropped -- with the
+    # f32-quality TPU eigh, directions below ~1e-8 ||B|| are numerical
+    # noise, and extrapolating along them is what blows DIIS up (no
+    # iterative refinement: with an approximate inverse and cond(B) ~ 1e10
+    # refinement diverges).  Falls back to the newest Fock matrix when the
+    # projected constraint direction degenerates.
+    scale = jnp.max(jnp.diagonal(b_inner)) + 1e-300
+    b_s = b_inner / scale + jnp.diag(1.0 - used)
+    w_eig, v_eig = jnp.linalg.eigh(b_s)
+    # relative TSVD threshold: CPU eigh is f64-exact so deep extrapolation
+    # is trustworthy (faster convergence); TPU eigh is f32-quality
+    thresh = 1e-13 if jax.default_backend() == "cpu" else 1e-8
+    inv = jnp.where(jnp.abs(w_eig) > thresh, 1.0 / w_eig, 0.0)
+    ones = used
+    u = v_eig @ (inv * (v_eig.T @ ones))
+    denom = ones @ u
+    slot_new = (nsaved - 1) % m
+    newest = jnp.zeros(m, f.dtype).at[slot_new].set(1.0)
+    coef = jnp.where(jnp.abs(denom) > 1e-8, u / jnp.where(
+        jnp.abs(denom) > 1e-8, denom, 1.0), newest) * used
+    # distrust wild extrapolations (another ill-conditioning symptom)
+    coef = jnp.where(jnp.sum(jnp.abs(coef)) < 20.0, coef, newest)
 
     f_ext = jnp.einsum("i,ijk->jk", coef, f_buf)
     # with a single stored matrix, extrapolation is the identity

@@ -36,12 +36,31 @@ CONV_TOL_D = 1e-6
 MAX_CYCLE = 200      # ref dft.py:199
 
 
+def _tpu_backend() -> bool:
+    import os
+
+    if os.environ.get("DFT_FORCE_SIGN_DENSITY") == "1":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
 def s_inv_sqrt(s: jnp.ndarray, lindep: float = 1e-12) -> jnp.ndarray:
-    """Symmetric (Lowdin) orthogonalization S^(-1/2), linear-dependence safe."""
+    """Symmetric (Lowdin) orthogonalization S^(-1/2), linear-dependence safe.
+
+    On TPU, XLA's f64 eigh only reaches f32-quality eigenvectors (measured
+    residual ~8e-7), so the eigh result is polished by Newton-Schulz
+    iterations X <- X(3I - S X^2)/2, whose f64 matmuls ARE exact on TPU;
+    two steps take the error from ~1e-6 to roundoff (quadratic)."""
     w, v = jnp.linalg.eigh(s)
     w_safe = jnp.where(w > lindep, w, 1.0)
     inv_sqrt = jnp.where(w > lindep, 1.0 / jnp.sqrt(w_safe), 0.0)
-    return (v * inv_sqrt) @ v.T
+    x = (v * inv_sqrt) @ v.T
+    if _tpu_backend():
+        eye = jnp.eye(s.shape[0], dtype=s.dtype)
+        for _ in range(3):
+            x = 0.5 * x @ (3.0 * eye - s @ (x @ x))
+            x = 0.5 * (x + x.T)
+    return x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,12 +108,42 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc) -> SCFSystem:
 
 
 def _density(x, f, nocc):
-    """Solve F C = S C e via the orthogonal basis; D = 2 C_occ C_occ^T."""
+    """Solve F C = S C e via the orthogonal basis; D = 2 C_occ C_occ^T.
+
+    On TPU the eigh eigenvectors are only f32-quality, so the density is
+    rebuilt eigendecomposition-free: the occupied-subspace projector is
+    P = (I + sign(mu I - F'))/2 with the matrix sign from Newton-Schulz
+    iterations (pure f64 matmuls, exact on TPU), using the approximate
+    eigenvalues only for the chemical potential mu and the spectral
+    scale -- the standard density-purification trick of linear-scaling
+    DFT, repurposed as an f64-accuracy recovery on MXU hardware.  Falls
+    back to the eigh density when the HOMO-LUMO gap is too small for the
+    sign iteration to resolve."""
     fp = x.T @ f @ x
-    _, cp = jnp.linalg.eigh(fp)
-    c = x @ cp
-    cocc = c[:, :nocc]
-    return 2.0 * cocc @ cocc.T
+    w, cp = jnp.linalg.eigh(fp)
+    cocc = (x @ cp)[:, :nocc]
+    dm_eigh = 2.0 * cocc @ cocc.T
+    if not _tpu_backend():
+        return dm_eigh
+
+    n = fp.shape[0]
+    eye = jnp.eye(n, dtype=fp.dtype)
+    mu = 0.5 * (w[nocc - 1] + w[nocc])
+    gap = w[nocc] - w[nocc - 1]
+    scale = jnp.maximum(jnp.abs(w[0] - mu), jnp.abs(w[-1] - mu)) * 1.05 + 1e-8
+    a = (mu * eye - fp) / scale
+
+    def ns_step(_, a):
+        return 1.5 * a - 0.5 * a @ a @ a
+
+    a = jax.lax.fori_loop(0, 30, ns_step, a)
+    p = 0.5 * (eye + a)
+    # two McWeeny sweeps clean residual non-idempotency quadratically
+    for _ in range(2):
+        p = p @ p @ (3.0 * eye - 2.0 * p)
+    dm_sign = 2.0 * x @ p @ x.T
+    dm_sign = 0.5 * (dm_sign + dm_sign.T)
+    return jnp.where(gap > 1e-5, dm_sign, dm_eigh)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional"))
@@ -136,23 +185,34 @@ def initial_guess(sys: SCFSystem) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("nocc", "c_hf"))
-def _assemble_solve(hcore, s, x, j, vxc, k, dm, f_buf, e_buf, nsaved,
-                    e_xc, e_nuc, nocc: int, c_hf: float):
-    f = hcore + j + vxc - 0.5 * c_hf * k if c_hf != 0.0 else hcore + j + vxc
-    diis, f = diis_update(DIISState(f_buf, e_buf, nsaved), f, dm, s, x)
+@functools.partial(jax.jit, static_argnames=("c_hf",))
+def _fock(hcore, j, vxc, k, c_hf: float):
+    return hcore + j + vxc - 0.5 * c_hf * k if c_hf != 0.0 else hcore + j + vxc
+
+
+@functools.partial(jax.jit, static_argnames=("nocc",))
+def _solve_density(x, f, dm, nocc: int):
     dm_new = _density(x, f, nocc)
+    return dm_new, jnp.linalg.norm(dm_new - dm)
+
+
+@functools.partial(jax.jit, static_argnames=("c_hf",))
+def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
     e_one = jnp.sum(dm_new * hcore)
     e_coul = 0.5 * jnp.sum(dm_new * j)
     e_ex = -0.25 * c_hf * jnp.sum(dm_new * k)
     e_tot = e_one + e_coul + e_xc + e_ex + e_nuc
-    dnorm = jnp.linalg.norm(dm_new - dm)
-    return dm_new, diis, EnergyBreakdown(e_tot, e_one, e_coul, e_xc, e_ex), dnorm
+    return EnergyBreakdown(e_tot, e_one, e_coul, e_xc, e_ex)
 
 
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None):
-    """One SCF cycle as separate jitted dispatches (TPU-compile friendly)."""
+    """One SCF cycle as separate jitted micro-dispatches.
+
+    The axon remote compiler is superlinear in graph size (seconds for
+    each piece here, 300+ s when DIIS + eigensolve + energies fuse into
+    one program), so every phase compiles independently; dispatch
+    overhead is microseconds against per-phase run times of ms."""
     from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
     timer = timer or PhaseTimer()
@@ -164,11 +224,11 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         jax.block_until_ready(vxc)
     k = exchange_full(sys.eri, dm) if c_hf != 0.0 else jnp.zeros_like(j)
     with timer.phase("fock+solve"):
-        dm_new, diis, eb, dnorm = _assemble_solve(
-            sys.hcore, sys.s, sys.x, j, vxc, k, dm,
-            diis.f_buf, diis.e_buf, diis.nsaved,
-            e_xc, jnp.asarray(sys.e_nuc), sys.nocc, c_hf,
-        )
+        f = _fock(sys.hcore, j, vxc, k, c_hf)
+        diis, f = diis_update(diis, f, dm, sys.s, sys.x)
+        dm_new, dnorm = _solve_density(sys.x, f, dm, sys.nocc)
+        eb = _energies(dm_new, sys.hcore, j, k, e_xc,
+                       jnp.asarray(sys.e_nuc), c_hf)
     return dm_new, diis, eb, dnorm
 
 
