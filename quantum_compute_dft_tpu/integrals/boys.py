@@ -41,6 +41,76 @@ def _boys_small(mmax: int, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(-x) * acc
 
 
+_TABLE_CACHE: dict[int, "jnp.ndarray"] = {}
+_TABLE_DX = 0.0625       # grid spacing; 7-term Taylor -> ~1e-14 truncation
+_TABLE_XMAX = 12.0
+_TABLE_TERMS = 7
+
+
+def _taylor_table(mmax: int):
+    """Host-precomputed F_m(x_i) for the in-kernel Taylor expansion.
+
+    Built with numpy/scipy (not jax) so it stays concrete even when the
+    first boys_fast call happens inside a jit trace."""
+    key = mmax
+    if key not in _TABLE_CACHE:
+        import numpy as np
+        from math import gamma as _gamma
+        from scipy.special import gammainc as _gammainc
+
+        xs = np.arange(0.0, _TABLE_XMAX + _TABLE_DX * 1.5, _TABLE_DX)
+        morders = mmax + _TABLE_TERMS
+        tab = np.empty((morders + 1, len(xs)))
+        small = xs < 1e-12
+        for m in range(morders + 1):
+            tab[m, small] = 1.0 / (2 * m + 1)
+            xl = xs[~small]
+            tab[m, ~small] = (
+                _gamma(m + 0.5) * _gammainc(m + 0.5, xl)
+                / (2.0 * xl ** (m + 0.5))
+            )
+        _TABLE_CACHE[key] = jnp.asarray(tab)  # (mmax+TERMS+1, npts)
+    return _TABLE_CACHE[key]
+
+
+def boys_fast(mmax: int, x: jnp.ndarray) -> jnp.ndarray:
+    """Table-driven Boys function, ~1e-13 accurate -- the hot-path variant
+    for ERI quartets (the exact series costs ~110 fused ops per element;
+    this costs ~10 plus one small gather).
+
+    x < 12:  7-term Taylor around the nearest table node
+             F_m(x) = sum_k (x_i - x)^k / k! * F_{m+k}(x_i)
+             (dF_m/dx = -F_{m+1}), then downward recursion.
+    x >= 12: erf closed form + upward recursion (as in boys()).
+    """
+    x = jnp.asarray(x)
+    tab = _taylor_table(mmax)
+    xs = jnp.minimum(x, _TABLE_XMAX)
+    idx = jnp.round(xs / _TABLE_DX).astype(jnp.int32)
+    x_i = idx.astype(x.dtype) * _TABLE_DX
+    dx = x_i - xs
+    cols = tab[:, idx]                      # (mmax+TERMS+1, ...) gather
+    # Horner over sum_k dx^k/k! * F_{mmax+k}(x_i)
+    top = cols[mmax + _TABLE_TERMS]
+    for k in range(_TABLE_TERMS - 1, -1, -1):
+        top = cols[mmax + k] + top * dx / (k + 1)
+    emxs = jnp.exp(-xs)
+    small = [top]
+    for m in range(mmax, 0, -1):
+        small.append((2.0 * xs * small[-1] + emxs) / (2 * m - 1))
+    small = small[::-1]
+
+    xl = jnp.maximum(x, _TABLE_XMAX)
+    sx = jnp.sqrt(xl)
+    large = [0.5 * sqrt(pi) / sx * erf(sx)]
+    emxl = jnp.exp(-xl)
+    for m in range(mmax):
+        large.append(((2 * m + 1) * large[-1] - emxl) / (2.0 * xl))
+
+    cond = x < _TABLE_XMAX
+    return jnp.stack([jnp.where(cond, s, l) for s, l in zip(small, large)])
+
+
 def boys(mmax: int, x: jnp.ndarray) -> jnp.ndarray:
     """All orders 0..mmax of F_m(x); returns shape (mmax+1,) + x.shape."""
     x = jnp.asarray(x)

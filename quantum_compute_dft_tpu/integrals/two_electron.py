@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from quantum_compute_dft_tpu.basis.basis_set import BasisSet, NPRIM
-from quantum_compute_dft_tpu.integrals.boys import boys
+from quantum_compute_dft_tpu.integrals.boys import boys_fast as boys
 from quantum_compute_dft_tpu.integrals.mcmurchie import e_tables, hermite_combos, r_tensor
 
 
@@ -50,18 +50,16 @@ def _quartet_kernel(lmax: int):
     parity = jnp.array([(-1.0) ** (t + u + v) for (t, u, v) in combos])
     sum_combos = hermite_combos(4 * lmax)
     sum_index = {tuv: i for i, tuv in enumerate(sum_combos)}
-    # index map: bra combo x ket combo -> position in R flat list
-    idx = np.array(
-        [
-            [
-                sum_index[(t1 + t2, u1 + u2, v1 + v2)]
-                for (t2, u2, v2) in combos
-            ]
-            for (t1, u1, v1) in combos
-        ],
-        dtype=np.int32,
-    )
-    idx_j = jnp.asarray(idx)
+    # static 0/1 selection tensor: SEL[s, a, b] = 1 iff combo_a + combo_b
+    # lands on sum-combo s.  Dense contractions against SEL beat the
+    # per-quartet gather formulation by a wide margin on CPU/TPU (XLA
+    # gathers do not vectorize; einsums do).
+    nc = len(combos)
+    sel = np.zeros((len(sum_combos), nc, nc))
+    for a, (t1, u1, v1) in enumerate(combos):
+        for b, (t2, u2, v2) in enumerate(combos):
+            sel[sum_index[(t1 + t2, u1 + u2, v1 + v2)], a, b] = 1.0
+    sel_j = jnp.asarray(sel)
 
     def quartet(p, P, et1, cw1, q, Q, et2, cw2):
         """All primitive combinations of one (bra pair, ket pair) quartet.
@@ -74,16 +72,20 @@ def _quartet_kernel(lmax: int):
         f = boys(4 * lmax, alpha * r2)  # (4lmax+1, np2, np2)
         r = r_tensor(4 * lmax, alpha, jnp.moveaxis(pq, -1, 0), f)
         r_flat = jnp.stack([r[tuv] for tuv in sum_combos])  # (ns, np2, np2)
-        # contract: sum_{c1,c2} et1[c1] et2[c2] parity[c2] R[idx[c1,c2]]
-        r_sel = r_flat[idx_j]  # (nc, nc, np2, np2)
         et2p = et2 * parity[None, :]
-        # et1: (np2, nc) bra, et2p: (np2, nc) ket
-        val = jnp.einsum("ca,db,abcd->cd", et1, et2p, r_sel)
         pref = (
             2.0 * pi ** 2.5
             / (p[:, None] * q[None, :] * jnp.sqrt(p[:, None] + q[None, :]))
         )
-        return jnp.sum(val * pref * cw1[:, None] * cw2[None, :])
+        # fold the primitive weights into the bra/ket Hermite coefficients
+        e1w = et1 * cw1[:, None]            # (np2, nc)
+        e2w = et2p * cw2[:, None]           # (np2, nc)
+        # sum_{s,a,b,c,d} R[s,c,d] SEL[s,a,b] e1w[c,a] e2w[d,b] pref[c,d],
+        # factored explicitly (ns*nc^2*np2 + ns*nc*np2^2 flops instead of
+        # the ns*nc^2*np2^2 a 3-operand einsum can materialize)
+        h = jnp.einsum("sab,db->sad", sel_j, e2w)
+        g = jnp.einsum("sad,ca->scd", h, e1w)
+        return jnp.einsum("scd,scd->", g, r_flat * pref[None])
 
     return quartet
 

@@ -38,8 +38,14 @@ from math import pi
 import jax
 import jax.numpy as jnp
 
-RHO_EPS = 1e-12    # density floor     (dft_solver.cu:12)
-MIN_GRAD = 1e-20   # sigma floor       (dft_solver.cu:13)
+# Density/sigma floors.  The reference uses 1e-12 / 1e-20 in native-f64
+# CUDA (dft_solver.cu:12-13); here they are raised to 1e-10 / 1e-18 because
+# TPU "f64" is float-float emulation with an f32 exponent RANGE -- autodiff
+# chains like rho**(-11/3) overflow past ~1e38 and poison vrho with NaNs at
+# the tighter floors.  The energy effect is below 1e-9 Eh (contributions
+# scale as w * rho * eps at rho < 1e-10).
+RHO_EPS = 1e-10
+MIN_GRAD = 1e-18
 
 # ---------------------------------------------------------------------------
 # LDA pieces: eps(rho)
