@@ -30,11 +30,15 @@ from quantum_compute_dft_tpu.mol.molecule import Molecule
 NPRIM = 3  # STO-3G contraction length
 
 # Cartesian monomial order per l.
-CART_MONOMIALS = {
-    0: [(0, 0, 0)],
-    1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
-    2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)],
-}
+def _monomials(l: int):
+    return [
+        (lx, ly, l - lx - ly)
+        for lx in range(l, -1, -1)
+        for ly in range(l - lx, -1, -1)
+    ]
+
+
+CART_MONOMIALS = {l: _monomials(l) for l in range(5)}
 
 # Real solid harmonics as combinations of cartesian monomials, normalized so
 # that S_lm = r^l * Ybar_lm with Ybar orthonormal on the unit sphere.
@@ -42,6 +46,44 @@ CART_MONOMIALS = {
 _C1 = sqrt(15.0 / (4.0 * pi))       # xy, yz, xz
 _C2 = sqrt(5.0 / (16.0 * pi))       # 3z^2 - r^2
 _C3 = sqrt(15.0 / (16.0 * pi))      # x^2 - y^2
+
+
+def _solid_harmonics_numeric(l: int) -> np.ndarray:
+    """(2l+1, ncart(l)) coefficients of r^l Ybar_lm over the monomials of
+    CART_MONOMIALS[l], with Ybar the orthonormal real spherical harmonics.
+
+    Generated numerically: sample monomials on a Lebedev grid, orthonormalize
+    the harmonic subspace by eigendecomposition of the Gram matrix, then
+    rotate to the canonical real-Ylm ordering via scipy's sph_harm.  Exact
+    to quadrature precision (the integrands are polynomials); used for
+    l >= 3 where hand-tabulation is error-prone (auxiliary f/g shells)."""
+    from scipy.integrate import lebedev_rule
+    from scipy.special import sph_harm_y
+
+    pts, w = lebedev_rule(2 * l + 3)
+    x, y, z = pts  # (3, npts)
+    theta = np.arccos(np.clip(z, -1, 1))
+    phi = np.arctan2(y, x)
+    monos = np.stack(
+        [x ** a * y ** b * z ** c for (a, b, c) in CART_MONOMIALS[l]]
+    )  # (nc, npts)
+    # real spherical harmonics Ybar_lm on the samples
+    rows = []
+    for m in range(-l, l + 1):
+        ylm = sph_harm_y(l, abs(m), theta, phi)
+        if m < 0:
+            ybar = np.sqrt(2.0) * (-1.0) ** m * ylm.imag
+        elif m == 0:
+            ybar = ylm.real
+        else:
+            ybar = np.sqrt(2.0) * (-1.0) ** m * ylm.real
+        rows.append(ybar)
+    ybar = np.stack(rows)  # (2l+1, npts)
+    gram = (monos * w) @ monos.T          # <mono_i, mono_j> on the sphere
+    proj = (ybar * w) @ monos.T           # <Ybar_m, mono_j>
+    return proj @ np.linalg.pinv(gram)
+
+
 SPH_FROM_CART = {
     0: np.array([[sqrt(1.0 / (4.0 * pi))]]),
     1: np.eye(3) * sqrt(3.0 / (4.0 * pi)),
@@ -55,6 +97,8 @@ SPH_FROM_CART = {
             [_C3, 0.0, 0.0, -_C3, 0.0, 0.0],
         ]
     ),
+    3: _solid_harmonics_numeric(3),
+    4: _solid_harmonics_numeric(4),
 }
 
 

@@ -69,8 +69,9 @@ def _taylor_table(mmax: int):
                 _gamma(m + 0.5) * _gammainc(m + 0.5, xl)
                 / (2.0 * xl ** (m + 0.5))
             )
-        _TABLE_CACHE[key] = jnp.asarray(tab)  # (mmax+TERMS+1, npts)
-    return _TABLE_CACHE[key]
+        _TABLE_CACHE[key] = tab  # numpy: caching a traced jnp constant
+        #                          would leak tracers across jit traces
+    return jnp.asarray(_TABLE_CACHE[key])
 
 
 def boys_fast(mmax: int, x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,260 @@
+"""Density-fitted ERIs: auto-generated auxiliary basis, 3-center/2-center
+integrals, and DF J/K builders.
+
+The scalable path for large molecules where the in-core (nao^4) ERI tensor
+(ref grid.py:65) no longer fits: J and hybrid K build from batched einsums
+over (munu|P) -- the BASELINE.json north-star formulation.  The reference
+has no equivalent (it is strictly in-core).
+
+Implementation notes:
+  * The auxiliary basis is an even-tempered set generated per element from
+    the orbital basis: exponents spanning [2 a_min, 2 a_max] geometrically
+    (ratio 2.5) for l = 0..2*l_occ -- the standard automatic auxiliary
+    construction.
+  * 3-center (munu|P) and 2-center (P|Q) integrals REUSE the 4-center
+    McMurchie-Davidson quartet kernel with a zero-exponent dummy primitive
+    as the second ket function: exp(-0 r^2) = 1 turns (munu|P sdummy)
+    into (munu|P) exactly.
+  * V^(-1/2) is built with eigh + Newton-Schulz polish (TPU-safe), so
+    B = (munu|P) V^(-1/2) gives J = B (B . D) and
+    K = sum_Q (B C_occ)(B C_occ)^T as pure GEMMs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quantum_compute_dft_tpu.basis.basis_set import (
+    BasisSet,
+    CART_MONOMIALS,
+    NPRIM,
+    cart_prim_norm,
+)
+from quantum_compute_dft_tpu.basis.data import element_shells
+from quantum_compute_dft_tpu.integrals.two_electron import _pair_stage, _quartet_kernel
+from quantum_compute_dft_tpu.mol.molecule import Molecule
+
+
+def autoaux_exponents(mol: Molecule, beta: float = 2.0):
+    """Even-tempered auxiliary exponents per element: spans the products of
+    orbital-basis primitives.  -> {symbol: [(l, alpha), ...]}"""
+    out = {}
+    for sym in set(mol.symbols):
+        shells = element_shells(sym)
+        l_occ = max(s[1] for s in shells)
+        amin = min(min(s[2]) for s in shells)
+        amax = max(max(s[2]) for s in shells)
+        lo, hi = 1.6 * amin, 2.2 * amax
+        n = max(int(np.ceil(np.log(hi / lo) / np.log(beta))) + 1, 2)
+        exps = lo * beta ** np.arange(n)
+        funcs = []
+        # l up to 2*l_occ + 1: the extra l captures off-center bond-density
+        # products that atom-centered lower-l sets fit poorly
+        for l in range(2 * l_occ + 2):
+            # lightly taper the highest-l sets (tight extremes unneeded)
+            sel = exps if l <= l_occ else exps[: max(n - 2, 1)]
+            funcs.extend((l, float(a)) for a in sel)
+        out[sym] = funcs
+    return out
+
+
+def build_aux_cart_table(mol: Molecule, beta: float = 2.0):
+    """Cartesian aux-function table (one normalized primitive each):
+    -> (powers (naux_cart,3), alphas (naux_cart,), coeffs, centers, c2s_aux)."""
+    from quantum_compute_dft_tpu.basis.basis_set import SPH_FROM_CART
+    from math import pi, sqrt
+
+    table = autoaux_exponents(mol, beta)
+    powers, alphas, coeffs, centers = [], [], [], []
+    sph_blocks = []
+    for ia, sym in enumerate(mol.symbols):
+        for l, a in table[sym]:
+            fold = sqrt(1.0 / (4.0 * pi)) if l == 0 else (
+                sqrt(3.0 / (4.0 * pi)) if l == 1 else 1.0
+            )
+            for lx, ly, lz in CART_MONOMIALS[l]:
+                powers.append((lx, ly, lz))
+                alphas.append(a)
+                # radially-normalized primitive, with the s/p solid-harmonic
+                # scalar folded in (mirrors build_basis)
+                from quantum_compute_dft_tpu.basis.basis_set import radial_gto_norm
+
+                coeffs.append(fold * radial_gto_norm(l, a))
+                centers.append(mol.coords[ia])
+            sph_blocks.append(
+                np.eye(2 * l + 1) if l <= 1 else SPH_FROM_CART[l]
+            )
+    ncart = len(powers)
+    nsph = sum(b.shape[0] for b in sph_blocks)
+    c2s = np.zeros((nsph, ncart))
+    io = jo = 0
+    for b in sph_blocks:
+        ns, nc = b.shape
+        c2s[io : io + ns, jo : jo + nc] = b
+        io += ns
+        jo += nc
+    return (
+        np.array(powers, dtype=np.int32),
+        np.array(alphas),
+        np.array(coeffs),
+        np.array(centers),
+        c2s,
+    )
+
+
+def _aux_pair_data(l_aux: int, powers, alphas, coeffs, centers):
+    """Hermite pair data for (aux, dummy) pairs, padded to NPRIM^2 prims."""
+    pair_fn, combos = _pair_stage(l_aux, 0)
+    naux = len(alphas)
+    np2 = NPRIM * NPRIM
+
+    pw = jnp.asarray(powers)
+    al = jnp.asarray(alphas)
+    ce = jnp.asarray(centers)
+    zero_pow = jnp.zeros(3, jnp.int32)
+
+    @jax.jit
+    def run(i):
+        p, P, et = pair_fn(pw[i], zero_pow, ce[i], ce[i], al[i], jnp.asarray(0.0))
+        return p, P, et
+
+    ps, Ps, ets = jax.vmap(run)(jnp.arange(naux))
+    # pad the single primitive pair to np2 slots with zero weights
+    p_all = jnp.ones((naux, np2)).at[:, 0].set(ps)
+    P_all = jnp.zeros((naux, np2, 3)).at[:, 0, :].set(Ps)
+    et_all = jnp.zeros((naux, np2, ets.shape[-1])).at[:, 0, :].set(ets)
+    cw = jnp.zeros((naux, np2)).at[:, 0].set(jnp.asarray(coeffs))
+    return p_all, P_all, et_all, cw
+
+
+def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
+               block: int = 256, beta: float = 2.0):
+    """-> (j3c (nao, nao, naux_sph), v2c (naux_sph, naux_sph))."""
+    from quantum_compute_dft_tpu.integrals.two_electron import eri_packed  # noqa: F401
+    from quantum_compute_dft_tpu.basis.basis_set import NPRIM as _NP
+
+    lmax_ao = int(basis.cart_powers.max())
+    apow, aalpha, acoef, acent, ac2s = build_aux_cart_table(mol, beta)
+    l_aux = int(apow.sum(axis=1).max())
+
+    # --- AO pair stage (same as eri_packed's) ---
+    n = basis.ncart
+    iu, ju = np.triu_indices(n)
+    pair_fn, combos = _pair_stage(lmax_ao)
+    pw = jnp.asarray(basis.cart_powers)
+    ce = jnp.asarray(basis.cart_centers)
+    al, co = basis.cart_alphas, basis.cart_coeffs
+    a_grid = jnp.asarray(np.repeat(al[iu], _NP, axis=1))
+    b_grid = jnp.asarray(np.tile(al[ju], (1, _NP)))
+    cw = jnp.asarray(np.repeat(co[iu], _NP, axis=1) * np.tile(co[ju], (1, _NP)))
+
+    @jax.jit
+    def run_pairs(ii, jj, ag, bg):
+        def one(i, j, a9, b9):
+            return jax.vmap(
+                lambda a, b: pair_fn(pw[i], pw[j], ce[i], ce[j], a, b)
+            )(a9, b9)
+        return jax.vmap(one)(ii, jj, ag, bg)
+
+    p_ao, P_ao, et_ao = run_pairs(jnp.asarray(iu), jnp.asarray(ju), a_grid, b_grid)
+
+    # --- aux pair stage ---
+    p_ax, P_ax, et_ax, cw_ax = _aux_pair_data(l_aux, apow, aalpha, acoef, acent)
+    naux_c = len(aalpha)
+
+    quartet = _quartet_kernel(2 * lmax_ao, l_aux)
+    quartet_aux = _quartet_kernel(l_aux, l_aux)
+
+    def make_run(q):
+        @jax.jit
+        def run_block(pa, Pa, ea, ca, pb, Pb, eb, cb):
+            return jax.vmap(
+                lambda p1, P1, e1, c1: jax.vmap(
+                    lambda p2, P2, e2, c2: q(p1, P1, e1, c1, p2, P2, e2, c2)
+                )(pb, Pb, eb, cb)
+            )(pa, Pa, ea, ca)
+        return run_block
+
+    run_3c = make_run(quartet)
+    run_2c = make_run(quartet_aux)
+
+    npair = len(iu)
+    j3c_pair = np.zeros((npair, naux_c))
+    for s in range(0, npair, block):
+        e = min(s + block, npair)
+        for sa in range(0, naux_c, block):
+            ea_ = min(sa + block, naux_c)
+            j3c_pair[s:e, sa:ea_] = np.asarray(
+                run_3c(
+                    p_ao[s:e], P_ao[s:e], et_ao[s:e], cw[s:e],
+                    p_ax[sa:ea_], P_ax[sa:ea_], et_ax[sa:ea_], cw_ax[sa:ea_],
+                )
+            )
+
+    v2c_c = np.zeros((naux_c, naux_c))
+    for s in range(0, naux_c, block):
+        e = min(s + block, naux_c)
+        for sa in range(s, naux_c, block):
+            ea_ = min(sa + block, naux_c)
+            blk = np.asarray(
+                run_2c(
+                    p_ax[s:e], P_ax[s:e], et_ax[s:e], cw_ax[s:e],
+                    p_ax[sa:ea_], P_ax[sa:ea_], et_ax[sa:ea_], cw_ax[sa:ea_],
+                )
+            )
+            v2c_c[s:e, sa:ea_] = blk
+            if sa != s:
+                v2c_c[sa:ea_, s:e] = blk.T
+
+    # unpack AO pairs -> full (n, n, naux_c), then cart->sph on both sides
+    j3c_cart = np.zeros((n, n, naux_c))
+    j3c_cart[iu, ju] = j3c_pair
+    j3c_cart[ju, iu] = j3c_pair
+    c2s = basis.c2s
+    nao = basis.nao
+    if c2s.shape[0] != n or not np.allclose(c2s, np.eye(n)):
+        j3c_cart = np.einsum("pi,qj,pqx->ijx", c2s, c2s, j3c_cart, optimize=True)
+    naux = ac2s.shape[0]
+    if naux != naux_c or not np.allclose(ac2s, np.eye(naux_c)):
+        j3c = np.einsum("ijx,yx->ijy", j3c_cart, ac2s, optimize=True)
+        v2c = ac2s @ v2c_c @ ac2s.T
+    else:
+        j3c, v2c = j3c_cart, v2c_c
+    return j3c.reshape(nao, nao, naux), v2c
+
+
+def make_df_builders(j3c, v2c):
+    """-> (coulomb(dm) -> J, exchange(dm, nocc) -> K) from DF tensors.
+
+    B = j3c . V^(-1/2):  J = B (B . D),  K = sum_Q (B C)(B C)^T with C the
+    occupied-orbital square root of D (obtained by eigendecomposition of D,
+    which is well-conditioned: eigenvalues ~{0, 2})."""
+    v2c = jnp.asarray(v2c)
+    w, v = jnp.linalg.eigh(v2c)
+    # pseudo inverse-sqrt with a RELATIVE threshold: dense auto-aux sets are
+    # near-linearly-dependent, and inverting (or Newton-Schulz-polishing)
+    # the null directions explodes; dropping them only removes redundant
+    # fitting functions.  f32-quality eigh is plenty for a 1e-4-grade fit.
+    wmax = jnp.max(w)
+    keep = w > 1e-10 * wmax
+    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, w, 1.0)), 0.0)
+    x = (v * inv_sqrt) @ v.T
+    b = jnp.einsum("ijp,pq->ijq", jnp.asarray(j3c), x)
+
+    @jax.jit
+    def coulomb(dm):
+        rho = jnp.einsum("ijq,ij->q", b, dm)
+        return jnp.einsum("ijq,q->ij", b, rho)
+
+    @jax.jit
+    def exchange(dm):
+        # D = sum_i n_i c_i c_i^T; use the symmetric square root of D/2 * 2
+        wd, vd = jnp.linalg.eigh(dm)
+        wd = jnp.maximum(wd, 0.0)
+        c = vd * jnp.sqrt(wd)
+        t = jnp.einsum("ijq,jk->ikq", b, c)
+        return jnp.einsum("ikq,jkq->ij", t, t)
+
+    return coulomb, exchange, b

@@ -29,15 +29,19 @@ from quantum_compute_dft_tpu.integrals.boys import boys_fast as boys
 from quantum_compute_dft_tpu.integrals.mcmurchie import e_tables, hermite_combos, r_tensor
 
 
-def _pair_stage(lmax: int):
-    combos = hermite_combos(2 * lmax)
+def _pair_stage(la: int, lb: int | None = None):
+    """Hermite pair quantities for (la, lb) cartesian functions; lb defaults
+    to la (AO pairs); (l_aux, 0) gives auxiliary-function 'pairs'."""
+    if lb is None:
+        lb = la
+    combos = hermite_combos(la + lb)
 
     def pair(pa, pb, A, B, a, b):
         """One primitive pair -> (p, P, Etilde[nc])."""
         p = a + b
         P = (a * A + b * B) / p
         ab3 = A - B
-        Es = [e_tables(lmax, lmax, a, b, ab3[d]) for d in range(3)]
+        Es = [e_tables(la, lb, a, b, ab3[d]) for d in range(3)]
         ex = [Es[d][pa[d], pb[d], :] for d in range(3)]
         et = jnp.stack([ex[0][t] * ex[1][u] * ex[2][v] for (t, u, v) in combos])
         return p, P, et
@@ -45,21 +49,26 @@ def _pair_stage(lmax: int):
     return pair, combos
 
 
-def _quartet_kernel(lmax: int):
-    combos = hermite_combos(2 * lmax)
-    parity = jnp.array([(-1.0) ** (t + u + v) for (t, u, v) in combos])
-    sum_combos = hermite_combos(4 * lmax)
+def _quartet_kernel(l_bra: int, l_ket: int | None = None):
+    """Contraction kernel over Hermite pair data with bra combos bounded by
+    total angular momentum l_bra and ket combos by l_ket."""
+    if l_ket is None:
+        l_ket = l_bra
+    combos_b = hermite_combos(l_bra)
+    combos_k = hermite_combos(l_ket)
+    parity = jnp.array([(-1.0) ** (t + u + v) for (t, u, v) in combos_k])
+    sum_combos = hermite_combos(l_bra + l_ket)
     sum_index = {tuv: i for i, tuv in enumerate(sum_combos)}
     # static 0/1 selection tensor: SEL[s, a, b] = 1 iff combo_a + combo_b
     # lands on sum-combo s.  Dense contractions against SEL beat the
     # per-quartet gather formulation by a wide margin on CPU/TPU (XLA
     # gathers do not vectorize; einsums do).
-    nc = len(combos)
-    sel = np.zeros((len(sum_combos), nc, nc))
-    for a, (t1, u1, v1) in enumerate(combos):
-        for b, (t2, u2, v2) in enumerate(combos):
+    sel = np.zeros((len(sum_combos), len(combos_b), len(combos_k)))
+    for a, (t1, u1, v1) in enumerate(combos_b):
+        for b, (t2, u2, v2) in enumerate(combos_k):
             sel[sum_index[(t1 + t2, u1 + u2, v1 + v2)], a, b] = 1.0
     sel_j = jnp.asarray(sel)
+    lmax4 = l_bra + l_ket
 
     def quartet(p, P, et1, cw1, q, Q, et2, cw2):
         """All primitive combinations of one (bra pair, ket pair) quartet.
@@ -69,8 +78,8 @@ def _quartet_kernel(lmax: int):
         alpha = p[:, None] * q[None, :] / (p[:, None] + q[None, :])
         pq = P[:, None, :] - Q[None, :, :]
         r2 = jnp.sum(pq * pq, axis=-1)
-        f = boys(4 * lmax, alpha * r2)  # (4lmax+1, np2, np2)
-        r = r_tensor(4 * lmax, alpha, jnp.moveaxis(pq, -1, 0), f)
+        f = boys(lmax4, alpha * r2)  # (lmax4+1, np2, np2)
+        r = r_tensor(lmax4, alpha, jnp.moveaxis(pq, -1, 0), f)
         r_flat = jnp.stack([r[tuv] for tuv in sum_combos])  # (ns, np2, np2)
         et2p = et2 * parity[None, :]
         pref = (
@@ -111,7 +120,7 @@ def eri_packed(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = N
     b_grid = jnp.asarray(np.tile(al[ju], (1, NPRIM)))
     cw = jnp.asarray(np.repeat(co[iu], NPRIM, axis=1) * np.tile(co[ju], (1, NPRIM)))
 
-    pair_fn, combos = _pair_stage(lmax)
+    pair_fn, combos = _pair_stage(lmax)  # (lmax, lmax) AO pairs
 
     @jax.jit
     def run_pairs(ii, jj, ag, bg):
@@ -125,7 +134,7 @@ def eri_packed(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = N
         jnp.asarray(iu), jnp.asarray(ju), a_grid, b_grid
     )  # (npair, 9), (npair, 9, 3), (npair, 9, nc)
 
-    quartet = _quartet_kernel(lmax)
+    quartet = _quartet_kernel(2 * lmax)  # bra/ket both AO pairs
 
     @jax.jit
     def run_block(pa, Pa, eta, cwa, pb, Pb, etb, cwb):

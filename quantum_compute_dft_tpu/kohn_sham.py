@@ -43,15 +43,34 @@ def prepare(
     grid_level: int = 3,
     grid: Grid | None = None,
     prune: bool = True,
+    density_fit: bool | None = None,
 ) -> KSSetup:
-    """CPU/host data build + device upload (ref dft.py:118-176)."""
+    """CPU/host data build + device upload (ref dft.py:118-176).
+
+    density_fit=None auto-selects: in-core ERIs up to nao ~ 110 (the
+    (nao^4) tensor stays under ~1.2 GB), density fitting beyond -- the
+    scalable path for DHA/acetyl-CoA-sized systems the reference cannot
+    reach in-core."""
     t0 = time.time()
     fn = FUNCTIONALS[functional.upper()] if isinstance(functional, str) else functional
 
     basis = build_basis(mol)
     s, t, v = one_electron(basis, mol.coords, mol.charges)
     hcore = t + v
-    eri = eri_full(basis)
+    if density_fit is None:
+        density_fit = basis.nao > 110
+    df_j = df_k = None
+    eri = None
+    if density_fit:
+        from quantum_compute_dft_tpu.integrals.density_fitting import (
+            df_tensors,
+            make_df_builders,
+        )
+
+        j3c, v2c = df_tensors(basis, mol)
+        df_j, df_k, _ = make_df_builders(j3c, v2c)
+    else:
+        eri = eri_full(basis)
     if grid is None:
         grid = build_grid(mol, level=grid_level, prune=prune)
 
@@ -62,7 +81,8 @@ def prepare(
         ao_grad = None
 
     sys = make_system(
-        hcore, s, eri, ao, grid.weights, ao_grad, mol.energy_nuc(), mol.nocc
+        hcore, s, eri, ao, grid.weights, ao_grad, mol.energy_nuc(), mol.nocc,
+        df_coulomb=df_j, df_exchange=df_k,
     )
     return KSSetup(
         sys=sys,

@@ -31,7 +31,8 @@
 
 namespace {
 
-constexpr double kRhoEps = 1e-12;   // density floor (matches reference)
+constexpr double kRhoEps = 1e-10;   // density floor (matches the JAX engine;
+//                                     see xc/functionals.py on why 1e-10)
 constexpr double kPi = 3.14159265358979323846;
 
 // ---------------------------------------------------------------------
@@ -255,7 +256,7 @@ double DFT_ComputeXC(HostSolver* solver, int ngrid, int nao,
         }
         grx *= 2.0; gry *= 2.0; grz *= 2.0;
         sig = grx * grx + gry * gry + grz * grz;
-        if (sig < 1e-20) sig = 1e-20;
+        if (sig < 1e-18) sig = 1e-18;
       }
 
       Dual2 f = f_xc(solver->kind, make_rho(rho), make_sigma(sig));

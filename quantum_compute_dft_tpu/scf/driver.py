@@ -70,12 +70,15 @@ class SCFSystem:
     hcore: jnp.ndarray
     s: jnp.ndarray
     x: jnp.ndarray            # S^(-1/2)
-    eri: jnp.ndarray | None   # (nao,)*4 in-core ERIs
+    eri: jnp.ndarray | None   # (nao,)*4 in-core ERIs (None in DF mode)
     ao: jnp.ndarray           # (ngrid, nao)
     weights: jnp.ndarray      # (ngrid,)
     ao_grad: jnp.ndarray | None
     e_nuc: float
     nocc: int
+    # density-fitting mode: jitted builders replacing the in-core eri paths
+    df_coulomb: Callable | None = None
+    df_exchange: Callable | None = None
 
     def __hash__(self):  # static arg for jit: identity-based
         return id(self)
@@ -92,7 +95,8 @@ class EnergyBreakdown(NamedTuple):
     e_ex_hf: jnp.ndarray
 
 
-def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc) -> SCFSystem:
+def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
+                df_coulomb=None, df_exchange=None) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
@@ -104,6 +108,8 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc) -> SCFSystem:
         ao_grad=None if ao_grad is None else jnp.asarray(ao_grad, f64),
         e_nuc=float(e_nuc),
         nocc=int(nocc),
+        df_coulomb=df_coulomb,
+        df_exchange=df_exchange,
     )
 
 
@@ -146,14 +152,22 @@ def _density(x, f, nocc):
     return jnp.where(gap > 1e-5, dm_sign, dm_eigh)
 
 
+def _build_j(sys: SCFSystem, dm):
+    return sys.df_coulomb(dm) if sys.eri is None else coulomb_full(sys.eri, dm)
+
+
+def _build_k(sys: SCFSystem, dm):
+    return sys.df_exchange(dm) if sys.eri is None else exchange_full(sys.eri, dm)
+
+
 @functools.partial(jax.jit, static_argnames=("sys", "functional"))
 def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis: DIISState):
     """One SCF cycle: returns (dm_new, diis, EnergyBreakdown, E_xc parts)."""
-    j = coulomb_full(sys.eri, dm)
+    j = _build_j(sys, dm)
     e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
     c_hf = functional.hyb_coeff
     if c_hf != 0.0:
-        k = exchange_full(sys.eri, dm)
+        k = _build_k(sys, dm)
         f = sys.hcore + j + vxc - 0.5 * c_hf * k
     else:
         k = None
@@ -218,11 +232,11 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     timer = timer or PhaseTimer()
     c_hf = functional.hyb_coeff
     with timer.phase("coulomb"):
-        j = coulomb_full(sys.eri, dm)
+        j = _build_j(sys, dm)
     with timer.phase("xc", sync=None):
         e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
         jax.block_until_ready(vxc)
-    k = exchange_full(sys.eri, dm) if c_hf != 0.0 else jnp.zeros_like(j)
+    k = _build_k(sys, dm) if c_hf != 0.0 else jnp.zeros_like(j)
     with timer.phase("fock+solve"):
         f = _fock(sys.hcore, j, vxc, k, c_hf)
         diis, f = diis_update(diis, f, dm, sys.s, sys.x)

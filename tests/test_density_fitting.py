@@ -1,0 +1,96 @@
+"""Density-fitting tests: 2c/3c integrals, DF J/K accuracy, DF-SCF."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quantum_compute_dft_tpu import kohn_sham
+from quantum_compute_dft_tpu.basis import build_basis
+from quantum_compute_dft_tpu.engine.coulomb import coulomb_full, exchange_full
+from quantum_compute_dft_tpu.integrals.density_fitting import (
+    build_aux_cart_table,
+    df_tensors,
+    make_df_builders,
+)
+from quantum_compute_dft_tpu.mol import from_atoms
+from quantum_compute_dft_tpu.scf.driver import initial_guess, scf_host
+
+H2O = [
+    ("O", (0.0, 0.0, 0.127)),
+    ("H", (0.0, 0.758, -0.509)),
+    ("H", (0.0, -0.758, -0.509)),
+]
+
+
+@pytest.fixture(scope="module")
+def h2o_df():
+    mol = from_atoms(H2O)
+    bas = build_basis(mol)
+    j3c, v2c = df_tensors(bas, mol)
+    return mol, bas, j3c, v2c
+
+
+def test_two_center_closed_form(h2o_df):
+    from math import pi, sqrt, erf
+
+    mol, bas, j3c, v2c = h2o_df
+    apow, aalpha, acoef, acent, ac2s = build_aux_cart_table(mol)
+    s_idx = [i for i in range(len(aalpha)) if tuple(apow[i]) == (0, 0, 0)]
+    i, j = s_idx[0], s_idx[-1]
+    p, q = aalpha[i], aalpha[j]
+    pq2 = ((acent[i] - acent[j]) ** 2).sum()
+    x = p * q / (p + q) * pq2
+    f0 = 1.0 if x < 1e-14 else 0.5 * sqrt(pi / x) * erf(sqrt(x))
+    ref = 2 * pi ** 2.5 / (p * q * sqrt(p + q)) * f0 * acoef[i] * acoef[j]
+    ri = np.nonzero(ac2s[:, i])[0][0]
+    rj = np.nonzero(ac2s[:, j])[0][0]
+    assert abs(v2c[ri, rj] - ref) < 1e-12 * abs(ref)
+
+
+def test_v2c_positive_definite_and_symmetric(h2o_df):
+    _, _, _, v2c = h2o_df
+    assert np.abs(v2c - v2c.T).max() < 1e-12
+    assert np.linalg.eigvalsh(v2c).min() > -1e-10
+
+
+def test_df_jk_accuracy(h2o_df):
+    mol, bas, j3c, v2c = h2o_df
+    setup = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=False)
+    dm = initial_guess(setup.sys)
+    jf, kf, _ = make_df_builders(j3c, v2c)
+    j_err = abs(0.5 * float(jnp.sum(dm * (jf(dm) - coulomb_full(setup.sys.eri, dm)))))
+    k_err = abs(0.25 * float(jnp.sum(dm * (kf(dm) - exchange_full(setup.sys.eri, dm)))))
+    assert j_err < 2e-4, j_err
+    assert k_err < 2e-4, k_err
+
+
+def test_df_scf_matches_incore():
+    mol = from_atoms(H2O)
+    s_ref = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=False)
+    s_df = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=True)
+    r_ref = scf_host(s_ref.sys, s_ref.functional)
+    r_df = scf_host(s_df.sys, s_df.functional)
+    assert r_ref.converged and r_df.converged
+    assert abs(r_ref.e_tot - r_df.e_tot) < 5e-4
+
+
+def test_numeric_solid_harmonics_match_hand_table():
+    from quantum_compute_dft_tpu.basis.basis_set import (
+        SPH_FROM_CART,
+        _solid_harmonics_numeric,
+    )
+
+    d_num = _solid_harmonics_numeric(2)
+    # rows may differ by sign convention; compare |.| and orthonormality
+    assert np.abs(np.abs(d_num) - np.abs(SPH_FROM_CART[2])).max() < 1e-12
+    # f-shell rows orthonormal on the sphere
+    from scipy.integrate import lebedev_rule
+    from quantum_compute_dft_tpu.basis.basis_set import CART_MONOMIALS
+
+    f = SPH_FROM_CART[3]
+    pts, w = lebedev_rule(11)
+    x, y, z = pts
+    monos = np.stack([x ** a * y ** b * z ** c for (a, b, c) in CART_MONOMIALS[3]])
+    vals = f @ monos
+    gram = (vals * w) @ vals.T
+    assert np.abs(gram - np.eye(7)).max() < 1e-12
