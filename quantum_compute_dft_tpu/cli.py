@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
         "auto-enabled on non-CPU backends",
     )
     p.add_argument(
+        "--density-fit",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="J/K via density-fitted ERIs (auto: on above nao ~ 110)",
+    )
+    p.add_argument(
         "--checkpoint",
         default=None,
         help="Path to save the converged density (.npz); if the file exists, "
@@ -119,6 +125,7 @@ def main(argv=None) -> int:
         grid_level=args.grid_level,
         grid=grid,
         prune=not args.no_prune,
+        density_fit={"auto": None, "on": True, "off": False}[args.density_fit],
     )
     print(
         f"System info: NAO={setup.nao}  grid points={setup.ngrid}  "

@@ -71,11 +71,12 @@ def _make_kernel(functional: Functional):
             @pl.when(i == 0)
             def _():
                 v_ref[:, :] = jnp.zeros_like(v_ref)
-                e_ref[0, 0] = 0.0
+                e_ref[:, :] = jnp.zeros_like(e_ref)
 
             ao = ao_ref[:, :]
             w = w_ref[:, 0]
-            phi_d = jnp.dot(ao, dm_ref[:, :], preferred_element_type=jnp.float32)
+            phi_d = jnp.dot(ao, dm_ref[:, :], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
             rho = jnp.sum(phi_d * ao, axis=1)
             gx, gy, gz = gx_ref[:, :], gy_ref[:, :], gz_ref[:, :]
             grx = 2.0 * jnp.sum(gx * phi_d, axis=1)
@@ -83,11 +84,20 @@ def _make_kernel(functional: Functional):
             grz = 2.0 * jnp.sum(gz * phi_d, axis=1)
             sigma = grx * grx + gry * gry + grz * grz
             e, vrho, vsigma = _functional_eval(functional, rho, sigma)
-            e_ref[0, 0] += jnp.sum(w * e)
+            # Mosaic lowers only lane-axis (last-dim) reductions; reduce
+            # the per-point energies with an MXU matmul against ones and
+            # accumulate the (1, 128) row (every lane holds the tile sum).
+            wem = jnp.broadcast_to((w * e)[:, None], (ao.shape[0], 128))
+            e_ref[:, :] += jnp.dot(
+                jnp.ones((8, ao.shape[0]), jnp.float32), wem,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             gdot = grx[:, None] * gx + gry[:, None] * gy + grz[:, None] * gz
             b = w[:, None] * (vrho[:, None] * ao + 2.0 * vsigma[:, None] * gdot)
             v_ref[:, :] += jnp.dot(
-                ao.T, b, preferred_element_type=jnp.float32
+                ao.T, b, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
     else:
@@ -98,17 +108,24 @@ def _make_kernel(functional: Functional):
             @pl.when(i == 0)
             def _():
                 v_ref[:, :] = jnp.zeros_like(v_ref)
-                e_ref[0, 0] = 0.0
+                e_ref[:, :] = jnp.zeros_like(e_ref)
 
             ao = ao_ref[:, :]
             w = w_ref[:, 0]
-            phi_d = jnp.dot(ao, dm_ref[:, :], preferred_element_type=jnp.float32)
+            phi_d = jnp.dot(ao, dm_ref[:, :], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
             rho = jnp.sum(phi_d * ao, axis=1)
             e, vrho, _ = _functional_eval(functional, rho, None)
-            e_ref[0, 0] += jnp.sum(w * e)
+            wem = jnp.broadcast_to((w * e)[:, None], (ao.shape[0], 128))
+            e_ref[:, :] += jnp.dot(
+                jnp.ones((8, ao.shape[0]), jnp.float32), wem,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             b = (w * vrho)[:, None] * ao
             v_ref[:, :] += jnp.dot(
-                ao.T, b, preferred_element_type=jnp.float32
+                ao.T, b, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
     return kernel
@@ -121,7 +138,7 @@ def xc_step_pallas(
     ao: jnp.ndarray,
     weights: jnp.ndarray,
     ao_grad: Optional[jnp.ndarray] = None,
-    tile: int = 1024,
+    tile: int = 512,
 ):
     """Fused-tile XC build, f32: -> (E_xc, V_xc) with the same contract as
     engine.xc_engine.xc_step."""
@@ -154,20 +171,24 @@ def xc_step_pallas(
                              memory_space=pltpu.VMEM)
             )
 
-    e_out, v_out = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=grid_in,
-        out_specs=(
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((npad, npad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, 1), f32),
-            jax.ShapeDtypeStruct((npad, npad), f32),
-        ),
-    )(*args)
+    # Mosaic rejects i64 block-index maps; trace the kernel with x64 off
+    # (all tensor data is explicitly f32 already).
+    with jax.enable_x64(False):
+        e_out, v_out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=grid_in,
+            out_specs=(
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad, npad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((8, 128), f32),
+                jax.ShapeDtypeStruct((npad, npad), f32),
+            ),
+        )(*args)
 
     v = v_out[:n, :n].astype(dm.dtype)
     return e_out[0, 0].astype(dm.dtype), 0.5 * (v + v.T)

@@ -220,21 +220,31 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 
 
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
-                         diis: DIISState, timer=None):
+                         diis: DIISState, timer=None, xc_impl: str = "f64"):
     """One SCF cycle as separate jitted micro-dispatches.
 
     The axon remote compiler is superlinear in graph size (seconds for
     each piece here, 300+ s when DIIS + eigensolve + energies fuse into
     one program), so every phase compiles independently; dispatch
-    overhead is microseconds against per-phase run times of ms."""
+    overhead is microseconds against per-phase run times of ms.
+
+    xc_impl: 'f64' (parity path) or 'pallas' (fused f32 TPU kernel,
+    ~20x faster per call)."""
     from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
     timer = timer or PhaseTimer()
     c_hf = functional.hyb_coeff
     with timer.phase("coulomb"):
         j = _build_j(sys, dm)
-    with timer.phase("xc", sync=None):
-        e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
+    with timer.phase("xc" if xc_impl == "f64" else "xc_pallas", sync=None):
+        if xc_impl == "pallas":
+            from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
+
+            e_xc, vxc = xc_step_pallas(functional, dm, sys.ao, sys.weights,
+                                       sys.ao_grad)
+        else:
+            e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights,
+                                sys.ao_grad)
         jax.block_until_ready(vxc)
     k = _build_k(sys, dm) if c_hf != 0.0 else jnp.zeros_like(j)
     with timer.phase("fock+solve"):
@@ -255,20 +265,31 @@ def scf_host_staged(
     conv_tol_d: float = CONV_TOL_D,
     dm0: jnp.ndarray | None = None,
     timer=None,
+    xc_impl: str = "f64",
+    mixed_switch_tol: float = 1e-5,
 ) -> SCFResult:
+    """xc_impl: 'f64', 'pallas', or 'mixed' (drive early cycles with the
+    ~20x-faster f32 Pallas XC, switch to the f64 engine once |dE| drops
+    below mixed_switch_tol -- the mixed-precision SCF production trick)."""
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
     e_old = 0.0
+    impl = "pallas" if xc_impl in ("pallas", "mixed") else "f64"
     for cycle in range(max_cycle):
         dm_new, diis, eb, dnorm_dev = scf_iteration_staged(
-            sys, functional, dm, diis, timer=timer
+            sys, functional, dm, diis, timer=timer, xc_impl=impl
         )
         de = float(eb.e_tot) - e_old
         dnorm = float(dnorm_dev)
         if callback:
             callback(cycle, eb, de, dnorm)
-        if abs(de) < conv_tol_e and dnorm < conv_tol_d:
+        converged = abs(de) < conv_tol_e and dnorm < conv_tol_d
+        if converged and not (xc_impl == "mixed" and impl == "pallas"):
             return SCFResult(True, cycle + 1, dm_new, eb, float(eb.e_tot))
+        if xc_impl == "mixed" and impl == "pallas" and cycle > 0 and (
+            converged or abs(de) < mixed_switch_tol
+        ):
+            impl = "f64"  # refine to parity precision from here on
         dm = dm_new
         e_old = float(eb.e_tot)
     return SCFResult(False, max_cycle, dm, eb, float(eb.e_tot))

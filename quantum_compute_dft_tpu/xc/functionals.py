@@ -48,6 +48,37 @@ RHO_EPS = 1e-10
 MIN_GRAD = 1e-18
 
 # ---------------------------------------------------------------------------
+# Lowering-safe transcendentals.  Pallas/Mosaic TPU has no atan/asinh/expm1
+# primitives, so these are built from exp/log/sqrt compositions, accurate to
+# ~1e-14 (tests/test_xc.py) and used on every path (CPU f64 included) so the
+# functional code stays engine-agnostic.
+# ---------------------------------------------------------------------------
+
+
+def _expm1(x):
+    """exp(x)-1 without the expm1 primitive; series below |x|=1e-4."""
+    series = x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x / 24.0)))
+    return jnp.where(jnp.abs(x) < 1e-4, series, jnp.exp(x) - 1.0)
+
+
+def _asinh_pos(x):
+    """asinh for x >= 0: log1p-stable form."""
+    return jnp.log1p(x + x * x / (1.0 + jnp.sqrt(1.0 + x * x)))
+
+
+def _atan_pos(z):
+    """atan for z >= 0 via 3 half-angle reductions + Taylor (|err| ~ 1e-13)."""
+    for _ in range(3):
+        z = z / (1.0 + jnp.sqrt(1.0 + z * z))
+    z2 = z * z
+    s = 1.0 / 15.0
+    for k in (13, 11, 9, 7, 5, 3):
+        s = 1.0 / k - z2 * s
+    s = 1.0 - z2 * s
+    return 8.0 * z * s
+
+
+# ---------------------------------------------------------------------------
 # LDA pieces: eps(rho)
 # ---------------------------------------------------------------------------
 
@@ -64,7 +95,7 @@ def _vwn_eps(rho, A, b, c, x0):
     X = x * x + b * x + c
     Q = jnp.sqrt(4.0 * c - b * b)
     X0 = x0 * x0 + b * x0 + c
-    atan_term = jnp.arctan(Q / (2.0 * x + b))
+    atan_term = _atan_pos(Q / (2.0 * x + b))
     return A * (
         jnp.log(x * x / X)
         + 2.0 * b / Q * atan_term
@@ -123,7 +154,7 @@ def pbe_c(rho, sigma):
     # pbe_x note on f32 autodiff safety)
     t = jnp.sqrt(sigma * pi) / (4.0 * jnp.sqrt(kf) * rho)
     t2 = jnp.minimum(t * t, big)
-    expm1x = jnp.expm1(-ec_lda / gamma_)
+    expm1x = _expm1(-ec_lda / gamma_)
     tiny = 1.0 / big
     A = (beta / gamma_) / jnp.where(
         jnp.abs(expm1x) < tiny, jnp.sign(expm1x) * tiny + tiny * 1e-8, expm1x
@@ -143,7 +174,7 @@ def b88_x_corr(rho_s, sigma_s):
     channel density rho_s (the Slater part is separate)."""
     rho43 = rho_s ** (4.0 / 3.0)
     x = jnp.sqrt(sigma_s) / rho43
-    denom = 1.0 + 6.0 * _BETA_B88 * x * jnp.arcsinh(x)
+    denom = 1.0 + 6.0 * _BETA_B88 * x * _asinh_pos(x)
     return -_BETA_B88 * x * x / denom * rho_s ** (1.0 / 3.0)
 
 
