@@ -65,12 +65,16 @@ def main() -> int:
     )
 
     # warm-up (compile; staged dispatches keep the remote TPU compiler fast)
-    res = scf_host_staged(sys_dev, setup.functional)
+    xc_impl = os.environ.get("BENCH_XC_IMPL", "mixed")
+    if jax.default_backend() == "cpu":
+        xc_impl = "f64"  # the Pallas kernel is TPU-only
+    res = scf_host_staged(sys_dev, setup.functional, xc_impl=xc_impl)
 
     # timed SCF (the reference's "Total Time", ref dft.py:245)
     timer = PhaseTimer()
     t0 = time.time()
-    res = scf_host_staged(sys_dev, setup.functional, timer=timer)
+    res = scf_host_staged(sys_dev, setup.functional, timer=timer,
+                          xc_impl=xc_impl)
     scf_s = time.time() - t0
     dm, eb, n_iter, done = res.dm, res.energy, res.n_iter, res.converged
 
@@ -109,6 +113,7 @@ def main() -> int:
             "ngrid": int(G),
             "xc_ms_per_call": round(xc_ms, 3),
             "xc_gflops": round(gflops, 2),
+            "xc_impl": xc_impl,
             "device": str(jax.devices()[0]),
             "setup_s": round(setup.build_time, 2),
             "total_s": round(time.time() - t_all, 2),

@@ -105,10 +105,10 @@ def build_aux_cart_table(mol: Molecule, beta: float = 2.0):
 
 
 def _aux_pair_data(l_aux: int, powers, alphas, coeffs, centers):
-    """Hermite pair data for (aux, dummy) pairs, padded to NPRIM^2 prims."""
+    """Hermite pair data for (aux, dummy) pairs -- one primitive slot (the
+    quartet kernel broadcasts over asymmetric primitive counts)."""
     pair_fn, combos = _pair_stage(l_aux, 0)
     naux = len(alphas)
-    np2 = NPRIM * NPRIM
 
     pw = jnp.asarray(powers)
     al = jnp.asarray(alphas)
@@ -121,16 +121,16 @@ def _aux_pair_data(l_aux: int, powers, alphas, coeffs, centers):
         return p, P, et
 
     ps, Ps, ets = jax.vmap(run)(jnp.arange(naux))
-    # pad the single primitive pair to np2 slots with zero weights
-    p_all = jnp.ones((naux, np2)).at[:, 0].set(ps)
-    P_all = jnp.zeros((naux, np2, 3)).at[:, 0, :].set(Ps)
-    et_all = jnp.zeros((naux, np2, ets.shape[-1])).at[:, 0, :].set(ets)
-    cw = jnp.zeros((naux, np2)).at[:, 0].set(jnp.asarray(coeffs))
-    return p_all, P_all, et_all, cw
+    return (
+        ps[:, None],                 # (naux, 1)
+        Ps[:, None, :],              # (naux, 1, 3)
+        ets[:, None, :],             # (naux, 1, nc)
+        jnp.asarray(coeffs)[:, None],
+    )
 
 
 def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
-               block: int = 256, beta: float = 2.0):
+               block: int | None = None, beta: float = 2.0):
     """-> (j3c (nao, nao, naux_sph), v2c (naux_sph, naux_sph))."""
     from quantum_compute_dft_tpu.integrals.two_electron import eri_packed  # noqa: F401
     from quantum_compute_dft_tpu.basis.basis_set import NPRIM as _NP
@@ -138,6 +138,10 @@ def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
     lmax_ao = int(basis.cart_powers.max())
     apow, aalpha, acoef, acent, ac2s = build_aux_cart_table(mol, beta)
     l_aux = int(apow.sum(axis=1).max())
+    if block is None:
+        # TPU materializes the vmapped per-quartet intermediates in HBM;
+        # keep blocks modest there (the single-core CPU fuses better)
+        block = 256 if jax.default_backend() == "cpu" else 128
 
     # --- AO pair stage (same as eri_packed's) ---
     n = basis.ncart
@@ -180,33 +184,59 @@ def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
     run_3c = make_run(quartet)
     run_2c = make_run(quartet_aux)
 
-    npair = len(iu)
-    j3c_pair = np.zeros((npair, naux_c))
-    for s in range(0, npair, block):
-        e = min(s + block, npair)
-        for sa in range(0, naux_c, block):
-            ea_ = min(sa + block, naux_c)
+    def pad_rows(arrs, m):
+        """zero-weight-pad the pair arrays to a multiple of block so every
+        dispatched block has ONE shape (each distinct shape costs a remote
+        TPU compile of 1-2 minutes)."""
+        n_ = arrs[0].shape[0]
+        r = (-n_) % m
+        if r == 0:
+            return arrs, n_
+        out = [
+            jnp.pad(a, [(0, r)] + [(0, 0)] * (a.ndim - 1)) for a in arrs
+        ]
+        # padded exponent-sum slots must stay positive (avoid div-by-zero);
+        # zero coefficients already null their contributions
+        out[0] = out[0].at[n_:].set(1.0)
+        return out, n_
+
+    (p_aoP, P_aoP, et_aoP, cwP), npair = pad_rows(
+        [p_ao, P_ao, et_ao, cw], block
+    )
+    (p_axP, P_axP, et_axP, cw_axP), _ = pad_rows(
+        [p_ax, P_ax, et_ax, cw_ax], block
+    )
+    npair_pad = p_aoP.shape[0]
+    naux_pad = p_axP.shape[0]
+
+    j3c_pair = np.zeros((npair_pad, naux_pad))
+    for s in range(0, npair_pad, block):
+        e = s + block
+        for sa in range(0, naux_pad, block):
+            ea_ = sa + block
             j3c_pair[s:e, sa:ea_] = np.asarray(
                 run_3c(
-                    p_ao[s:e], P_ao[s:e], et_ao[s:e], cw[s:e],
-                    p_ax[sa:ea_], P_ax[sa:ea_], et_ax[sa:ea_], cw_ax[sa:ea_],
+                    p_aoP[s:e], P_aoP[s:e], et_aoP[s:e], cwP[s:e],
+                    p_axP[sa:ea_], P_axP[sa:ea_], et_axP[sa:ea_], cw_axP[sa:ea_],
                 )
             )
+    j3c_pair = j3c_pair[:npair, :naux_c]
 
-    v2c_c = np.zeros((naux_c, naux_c))
-    for s in range(0, naux_c, block):
-        e = min(s + block, naux_c)
-        for sa in range(s, naux_c, block):
-            ea_ = min(sa + block, naux_c)
+    v2c_full = np.zeros((naux_pad, naux_pad))
+    for s in range(0, naux_pad, block):
+        e = s + block
+        for sa in range(s, naux_pad, block):
+            ea_ = sa + block
             blk = np.asarray(
                 run_2c(
-                    p_ax[s:e], P_ax[s:e], et_ax[s:e], cw_ax[s:e],
-                    p_ax[sa:ea_], P_ax[sa:ea_], et_ax[sa:ea_], cw_ax[sa:ea_],
+                    p_axP[s:e], P_axP[s:e], et_axP[s:e], cw_axP[s:e],
+                    p_axP[sa:ea_], P_axP[sa:ea_], et_axP[sa:ea_], cw_axP[sa:ea_],
                 )
             )
-            v2c_c[s:e, sa:ea_] = blk
+            v2c_full[s:e, sa:ea_] = blk
             if sa != s:
-                v2c_c[sa:ea_, s:e] = blk.T
+                v2c_full[sa:ea_, s:e] = blk.T
+    v2c_c = v2c_full[:naux_c, :naux_c]
 
     # unpack AO pairs -> full (n, n, naux_c), then cart->sph on both sides
     j3c_cart = np.zeros((n, n, naux_c))

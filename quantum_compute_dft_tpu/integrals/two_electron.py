@@ -168,11 +168,21 @@ def eri_packed(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = N
         cw[jnp.asarray(sel)],
     )
 
-    W = np.zeros((npair, npair))
-    for sa in range(0, npair, block):
-        ea = min(sa + block, npair)
-        for sb in range(sa, npair, block):
-            eb = min(sb + block, npair)
+    # zero-weight-pad to a block multiple: every dispatched block then has
+    # one shape (each distinct shape costs a remote TPU compile)
+    rpad = (-npair) % block
+    if rpad:
+        p_s = jnp.pad(p_s, ((0, rpad), (0, 0))).at[npair:].set(1.0)
+        P_s = jnp.pad(P_s, ((0, rpad), (0, 0), (0, 0)))
+        et_s = jnp.pad(et_s, ((0, rpad), (0, 0), (0, 0)))
+        cw_s = jnp.pad(cw_s, ((0, rpad), (0, 0)))
+    npad_ = npair + rpad
+
+    W = np.zeros((npad_, npad_))
+    for sa in range(0, npad_, block):
+        ea = sa + block
+        for sb in range(sa, npad_, block):
+            eb = sb + block
             blk = np.asarray(
                 run_block(
                     p_s[sa:ea], P_s[sa:ea], et_s[sa:ea], cw_s[sa:ea],
@@ -182,7 +192,7 @@ def eri_packed(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = N
             W[sa:ea, sb:eb] = blk
             if sb != sa:
                 W[sb:eb, sa:ea] = blk.T
-    return (iu[sel], ju[sel]), W
+    return (iu[sel], ju[sel]), W[:npair, :npair]
 
 
 def eri_full(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = None):
