@@ -59,11 +59,14 @@ def eval_ao(
     coords: np.ndarray,
     deriv: int = 0,
     chunk: int = 16384,
+    as_numpy: bool = True,
 ):
     """-> ao (ngrid, nao) [deriv=0] or (ao, ao_grad (3, ngrid, nao)) [deriv=1].
 
     ao_grad uses the reference's planar layout (ref dft.py:136-142).
-    """
+    as_numpy=False keeps the chunks on the accelerator and concatenates
+    there -- vital on this TPU, where the host<->device relay moves only
+    ~10 MB/s (a DHA-sized AO+grad set is ~5 GB)."""
     centers = jnp.asarray(basis.ao_centers)
     powers = jnp.asarray(basis.term_powers)
     alphas = jnp.asarray(basis.term_alphas)
@@ -77,10 +80,11 @@ def eval_ao(
             jnp.asarray(coords[s:e]), centers, powers, alphas, weights,
             deriv >= 1,
         )
-        aos.append(np.asarray(ao))
+        aos.append(np.asarray(ao) if as_numpy else ao)
         if deriv >= 1:
-            gs.append(np.asarray(g))
-    ao = np.concatenate(aos)
+            gs.append(np.asarray(g) if as_numpy else g)
+    cat = np.concatenate if as_numpy else jnp.concatenate
+    ao = cat(aos)
     if deriv == 0:
         return ao
-    return ao, np.concatenate(gs, axis=1)
+    return ao, cat(gs, axis=1)

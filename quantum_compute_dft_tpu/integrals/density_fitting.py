@@ -50,9 +50,9 @@ def autoaux_exponents(mol: Molecule, beta: float = 2.0):
         n = max(int(np.ceil(np.log(hi / lo) / np.log(beta))) + 1, 2)
         exps = lo * beta ** np.arange(n)
         funcs = []
-        # l up to 2*l_occ + 1: the extra l captures off-center bond-density
-        # products that atom-centered lower-l sets fit poorly
-        for l in range(2 * l_occ + 2):
+        # l up to 2*l_occ + 1 (capped at g): the extra l captures off-center
+        # bond-density products that atom-centered lower-l sets fit poorly
+        for l in range(min(2 * l_occ + 2, 5)):
             # lightly taper the highest-l sets (tight extremes unneeded)
             sel = exps if l <= l_occ else exps[: max(n - 2, 1)]
             funcs.extend((l, float(a)) for a in sel)
@@ -245,7 +245,8 @@ def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
     c2s = basis.c2s
     nao = basis.nao
     if c2s.shape[0] != n or not np.allclose(c2s, np.eye(n)):
-        j3c_cart = np.einsum("pi,qj,pqx->ijx", c2s, c2s, j3c_cart, optimize=True)
+        # c2s is (nao_sph, ncart): rows select cartesian combinations
+        j3c_cart = np.einsum("ip,jq,pqx->ijx", c2s, c2s, j3c_cart, optimize=True)
     naux = ac2s.shape[0]
     if naux != naux_c or not np.allclose(ac2s, np.eye(naux_c)):
         j3c = np.einsum("ijx,yx->ijy", j3c_cart, ac2s, optimize=True)
@@ -255,36 +256,53 @@ def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
     return j3c.reshape(nao, nao, naux), v2c
 
 
-def make_df_builders(j3c, v2c):
-    """-> (coulomb(dm) -> J, exchange(dm, nocc) -> K) from DF tensors.
+def make_df_builders(j3c, v2c, build_k: bool = True):
+    """-> (coulomb(dm) -> J, exchange(dm) -> K, B) from DF tensors.
 
-    B = j3c . V^(-1/2):  J = B (B . D),  K = sum_Q (B C)(B C)^T with C the
-    occupied-orbital square root of D (obtained by eigendecomposition of D,
-    which is well-conditioned: eigenvalues ~{0, 2})."""
-    v2c = jnp.asarray(v2c)
-    w, v = jnp.linalg.eigh(v2c)
-    # pseudo inverse-sqrt with a RELATIVE threshold: dense auto-aux sets are
-    # near-linearly-dependent, and inverting (or Newton-Schulz-polishing)
-    # the null directions explodes; dropping them only removes redundant
-    # fitting functions.  f32-quality eigh is plenty for a 1e-4-grade fit.
-    wmax = jnp.max(w)
+    The fitting-metric pseudo-inverse is factorized ON THE HOST with
+    numpy's exact eigh (TPU f64 eigh is f32-quality, and naux here can be
+    thousands).  J never materializes the B = j3c V^(-1/2) tensor -- it
+    costs O(nao^2 naux^2) f64-emulated flops (hours at DHA scale on TPU) --
+    only cheap vector solves:
+
+        rho_P = (munu|P) D,  c = V^+ rho,  J = (munu|P) c        (robust fit)
+
+    K does need B; it is built once in f32 with HIGHEST-precision MXU
+    matmuls (seconds) -- DF-K carries ~1e-4 fit error anyway, so f32's
+    1e-7 is free.  K = sum_Q (B C)(B C)^T with C the symmetric square
+    root of D (eigenvalues ~{0, 2}: well-conditioned)."""
+    v2c_h = np.asarray(v2c)
+    w, v = np.linalg.eigh(v2c_h)
+    wmax = w.max()
     keep = w > 1e-10 * wmax
-    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, w, 1.0)), 0.0)
-    x = (v * inv_sqrt) @ v.T
-    b = jnp.einsum("ijp,pq->ijq", jnp.asarray(j3c), x)
+    inv = np.where(keep, 1.0 / np.where(keep, w, 1.0), 0.0)
+    v_pinv = jnp.asarray((v * inv) @ v.T)
+    j3c_dev = jnp.asarray(j3c)
 
     @jax.jit
     def coulomb(dm):
-        rho = jnp.einsum("ijq,ij->q", b, dm)
-        return jnp.einsum("ijq,q->ij", b, rho)
+        rho = jnp.einsum("ijq,ij->q", j3c_dev, dm)
+        c = v_pinv @ rho
+        return jnp.einsum("ijq,q->ij", j3c_dev, c)
+
+    if not build_k:
+        return coulomb, None, None
+
+    inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
+    x32 = jnp.asarray(((v * inv_sqrt) @ v.T).astype(np.float32))
+    b32 = jnp.einsum(
+        "ijp,pq->ijq", j3c_dev.astype(jnp.float32), x32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     @jax.jit
     def exchange(dm):
-        # D = sum_i n_i c_i c_i^T; use the symmetric square root of D/2 * 2
         wd, vd = jnp.linalg.eigh(dm)
-        wd = jnp.maximum(wd, 0.0)
-        c = vd * jnp.sqrt(wd)
-        t = jnp.einsum("ijq,jk->ikq", b, c)
-        return jnp.einsum("ikq,jkq->ij", t, t)
+        c = (vd * jnp.sqrt(jnp.maximum(wd, 0.0))).astype(jnp.float32)
+        t = jnp.einsum("ijq,jk->ikq", b32, c,
+                       precision=jax.lax.Precision.HIGHEST)
+        k = jnp.einsum("ikq,jkq->ij", t, t,
+                       precision=jax.lax.Precision.HIGHEST)
+        return k.astype(dm.dtype)
 
-    return coulomb, exchange, b
+    return coulomb, exchange, b32

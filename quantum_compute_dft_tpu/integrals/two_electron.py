@@ -211,7 +211,9 @@ def eri_full(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = Non
         for c, d in ((kk, ll), (ll, kk)):
             full[a, b, c, d] = w
     c2s = basis.c2s
-    if np.allclose(c2s, np.eye(n)):
+    if c2s.shape[0] == n and np.allclose(c2s, np.eye(n)):
         return full
-    out = np.einsum("pi,qj,rk,sl,pqrs->ijkl", c2s, c2s, c2s, c2s, full, optimize=True)
+    # c2s is (nao_sph, ncart): contract each cartesian index against rows
+    out = np.einsum("ip,jq,kr,ls,pqrs->ijkl", c2s, c2s, c2s, c2s, full,
+                    optimize=True)
     return out

@@ -68,16 +68,21 @@ def prepare(
         )
 
         j3c, v2c = df_tensors(basis, mol)
-        df_j, df_k, _ = make_df_builders(j3c, v2c)
+        df_j, df_k, _ = make_df_builders(j3c, v2c, build_k=fn.hyb_coeff != 0.0)
     else:
         eri = eri_full(basis)
     if grid is None:
         grid = build_grid(mol, level=grid_level, prune=prune)
 
+    # keep AO arrays device-resident off-CPU: the host<->TPU relay here
+    # moves ~10 MB/s and a large-molecule AO+grad set is gigabytes
+    import jax as _jax
+
+    as_numpy = _jax.default_backend() == "cpu"
     if fn.needs_grad:
-        ao, ao_grad = eval_ao(basis, grid.coords, deriv=1)
+        ao, ao_grad = eval_ao(basis, grid.coords, deriv=1, as_numpy=as_numpy)
     else:
-        ao = eval_ao(basis, grid.coords, deriv=0)
+        ao = eval_ao(basis, grid.coords, deriv=0, as_numpy=as_numpy)
         ao_grad = None
 
     sys = make_system(
