@@ -231,8 +231,23 @@ _reconstruct_heavy()
 
 
 def element_shells(symbol: str) -> list[tuple[str, int, tuple[float, ...], tuple[float, ...]]]:
-    """-> [(shell_name, l, alphas_scaled, coeffs), ...] for one element."""
+    """-> [(shell_name, l, alphas_scaled, coeffs), ...] for one element.
+
+    If canonical tables were imported (tools/import_basis.py writes
+    basis/sto3g_override.py), they take precedence over the generated
+    zeta-scaled universal fits."""
     from quantum_compute_dft_tpu.mol.elements import Z_OF
+
+    try:
+        from quantum_compute_dft_tpu.basis.sto3g_override import SHELLS
+
+        if symbol in SHELLS:
+            return [
+                (f"override(l={l})", l, tuple(a), tuple(c))
+                for (l, a, c) in SHELLS[symbol]
+            ]
+    except ImportError:
+        pass
 
     z = Z_OF[symbol]
     out = []

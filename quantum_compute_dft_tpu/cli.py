@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
         "auto-enabled on non-CPU backends",
     )
     p.add_argument(
+        "--xc-impl",
+        choices=["f64", "pallas", "mixed"],
+        default="f64",
+        help="XC engine: f64 parity path, fused f32 Pallas TPU kernel, or "
+        "mixed (pallas until |dE|<1e-5, then f64)",
+    )
+    p.add_argument(
         "--density-fit",
         choices=["auto", "on", "off"],
         default="auto",
@@ -160,16 +167,18 @@ def main(argv=None) -> int:
             )
 
         staged = args.staged or _jax.default_backend() != "cpu"
-        runner = scf_host_staged if staged else scf_host
-        res = runner(
-            setup.sys,
-            setup.functional,
+        kwargs = dict(
             callback=cb,
             max_cycle=args.max_cycle,
             conv_tol_e=args.conv_tol_e,
             conv_tol_d=args.conv_tol_d,
             dm0=dm0,
         )
+        if staged:
+            res = scf_host_staged(setup.sys, setup.functional,
+                                  xc_impl=args.xc_impl, **kwargs)
+        else:
+            res = scf_host(setup.sys, setup.functional, **kwargs)
         eb, e_tot, converged, n_iter, dm = (
             res.energy, res.e_tot, res.converged, res.n_iter, res.dm,
         )

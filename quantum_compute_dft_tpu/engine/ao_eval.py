@@ -22,16 +22,34 @@ import numpy as np
 from quantum_compute_dft_tpu.basis.basis_set import BasisSet
 
 
+_PMAX = 5  # max monomial power needed (l=4 aux) + 1 for gradients
+
+
+def _int_pow(base, p):
+    """base ** p for a traced small-integer array p, via select over chained
+    multiplications.  jnp's float pow lowers to exp(p log base) on TPU,
+    which is NaN for the negative displacements that dominate a grid."""
+    out = jnp.ones_like(base)
+    acc = jnp.ones_like(base)
+    for k in range(1, _PMAX + 1):
+        acc = acc * base
+        out = jnp.where(p == k, acc, out)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("with_grad",))
 def _eval_chunk(coords, centers, powers, alphas, weights, with_grad: bool):
     # coords (G,3); centers (nao,3); powers (nao,T,3); alphas/weights (nao,T)
     d = coords[:, None, :] - centers[None, :, :]          # (G, nao, 3)
     r2 = jnp.sum(d * d, axis=-1)                          # (G, nao)
-    ex = jnp.exp(-alphas[None, :, :] * r2[:, :, None])    # (G, nao, T)
+    arg = -alphas[None, :, :] * r2[:, :, None]            # (G, nao, T)
+    # exp underflow on TPU float-float (f32 exponent range) yields NaN, not
+    # 0 -- cut the tail explicitly (exp(-85) ~ 1e-37 is already nothing)
+    ex = jnp.where(arg > -85.0, jnp.exp(jnp.maximum(arg, -85.0)), 0.0)
 
     p = powers[None, :, :, :]                             # (1, nao, T, 3)
     dxyz = d[:, :, None, :]                               # (G, nao, 1, 3)
-    mono = jnp.prod(dxyz ** p, axis=-1)                   # (G, nao, T)
+    mono = jnp.prod(_int_pow(dxyz, p), axis=-1)           # (G, nao, T)
     w = weights[None, :, :]
     ao = jnp.sum(w * mono * ex, axis=-1)                  # (G, nao)
     if not with_grad:
@@ -42,14 +60,15 @@ def _eval_chunk(coords, centers, powers, alphas, weights, with_grad: bool):
     pm1 = jnp.maximum(p - 1, 0)
     for k in range(3):
         dk = dxyz[..., k]
-        poly_dk = jnp.where(p[..., k] > 0, p[..., k] * dk ** pm1[..., k], 0.0)
+        poly_dk = jnp.where(p[..., k] > 0, p[..., k] * _int_pow(dk, pm1[..., k]), 0.0)
         other = jnp.prod(
             jnp.stack(
-                [dxyz[..., m] ** p[..., m] for m in range(3) if m != k], -1
+                [_int_pow(dxyz[..., m], p[..., m]) for m in range(3) if m != k],
+                -1,
             ),
             axis=-1,
         )
-        dmono = (poly_dk - 2.0 * alphas[None] * dk ** (p[..., k] + 1)) * other
+        dmono = (poly_dk - 2.0 * alphas[None] * _int_pow(dk, p[..., k] + 1)) * other
         grads.append(jnp.sum(w * dmono * ex, axis=-1))
     return ao, jnp.stack(grads)                           # (G,nao), (3,G,nao)
 

@@ -279,30 +279,45 @@ def make_df_builders(j3c, v2c, build_k: bool = True):
     v_pinv = jnp.asarray((v * inv) @ v.T)
     j3c_dev = jnp.asarray(j3c)
 
-    @jax.jit
+    # NOTE: big tensors are passed as jit ARGUMENTS, never closed over --
+    # closed-over arrays embed in the lowered MLIR, and a DHA-sized j3c
+    # (~700 MB) breaks the remote-compile transport outright.
     def coulomb(dm):
-        rho = jnp.einsum("ijq,ij->q", j3c_dev, dm)
-        c = v_pinv @ rho
-        return jnp.einsum("ijq,q->ij", j3c_dev, c)
+        return _df_coulomb(j3c_dev, v_pinv, dm)
 
     if not build_k:
         return coulomb, None, None
 
     inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
     x32 = jnp.asarray(((v * inv_sqrt) @ v.T).astype(np.float32))
-    b32 = jnp.einsum(
-        "ijp,pq->ijq", j3c_dev.astype(jnp.float32), x32,
+    b32 = _df_b32(j3c_dev, x32)
+
+    def exchange(dm):
+        return _df_exchange(b32, dm)
+
+    return coulomb, exchange, b32
+
+
+@jax.jit
+def _df_coulomb(j3c, v_pinv, dm):
+    rho = jnp.einsum("ijq,ij->q", j3c, dm)
+    return jnp.einsum("ijq,q->ij", j3c, v_pinv @ rho)
+
+
+@jax.jit
+def _df_b32(j3c, x32):
+    return jnp.einsum(
+        "ijp,pq->ijq", j3c.astype(jnp.float32), x32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    @jax.jit
-    def exchange(dm):
-        wd, vd = jnp.linalg.eigh(dm)
-        c = (vd * jnp.sqrt(jnp.maximum(wd, 0.0))).astype(jnp.float32)
-        t = jnp.einsum("ijq,jk->ikq", b32, c,
-                       precision=jax.lax.Precision.HIGHEST)
-        k = jnp.einsum("ikq,jkq->ij", t, t,
-                       precision=jax.lax.Precision.HIGHEST)
-        return k.astype(dm.dtype)
 
-    return coulomb, exchange, b32
+@jax.jit
+def _df_exchange(b32, dm):
+    wd, vd = jnp.linalg.eigh(dm)
+    c = (vd * jnp.sqrt(jnp.maximum(wd, 0.0))).astype(jnp.float32)
+    t = jnp.einsum("ijq,jk->ikq", b32, c,
+                   precision=jax.lax.Precision.HIGHEST)
+    k = jnp.einsum("ikq,jkq->ij", t, t,
+                   precision=jax.lax.Precision.HIGHEST)
+    return k.astype(dm.dtype)

@@ -173,7 +173,11 @@ def b88_x_corr(rho_s, sigma_s):
     """B88 exchange *correction* per spin channel, eps per electron of the
     channel density rho_s (the Slater part is separate)."""
     rho43 = rho_s ** (4.0 / 3.0)
-    x = jnp.sqrt(sigma_s) / rho43
+    # clamp the reduced gradient: x^2 overflows f32 past ~1e19, and the
+    # correction is asymptotically ~ -x/(6 asinh x) there anyway -- only
+    # negligible-density points ever reach the clamp
+    xmax = 1e15 if jnp.result_type(rho_s) == jnp.float64 else 1e8
+    x = jnp.minimum(jnp.sqrt(sigma_s) / rho43, xmax)
     denom = 1.0 + 6.0 * _BETA_B88 * x * _asinh_pos(x)
     return -_BETA_B88 * x * x / denom * rho_s ** (1.0 / 3.0)
 
