@@ -256,27 +256,46 @@ def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
     return j3c.reshape(nao, nao, naux), v2c
 
 
-def make_df_builders(j3c, v2c, build_k: bool = True):
+def metric_factors(v2c, lindep: float = 1e-10):
+    """Host-side (exact f64 eigh) factorization of the fitting metric:
+    -> (V^+, V^(-1/2)) as numpy arrays, linear-dependence safe.
+
+    Done on the HOST because TPU's f64 eigh is only f32-quality and naux
+    can be thousands."""
+    w, v = np.linalg.eigh(np.asarray(v2c))
+    keep = w > lindep * w.max()
+    inv = np.where(keep, 1.0 / np.where(keep, w, 1.0), 0.0)
+    inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
+    v_pinv = (v * inv) @ v.T
+    v_inv_sqrt = (v * inv_sqrt) @ v.T
+    return v_pinv, v_inv_sqrt
+
+
+def _auto_k_dtype(nao: int, naux: int) -> str:
+    """f64 B-tensor build costs O(nao^2 naux^2) emulated-f64 flops on TPU;
+    keep it below ~1e12 (a few seconds), else drop to f32 MXU matmuls."""
+    return "float64" if float(nao) ** 2 * float(naux) ** 2 <= 1e12 else "float32"
+
+
+def make_df_builders(j3c, v2c, build_k: bool = True, k_dtype: str | None = None):
     """-> (coulomb(dm) -> J, exchange(dm) -> K, B) from DF tensors.
 
     The fitting-metric pseudo-inverse is factorized ON THE HOST with
     numpy's exact eigh (TPU f64 eigh is f32-quality, and naux here can be
-    thousands).  J never materializes the B = j3c V^(-1/2) tensor -- it
-    costs O(nao^2 naux^2) f64-emulated flops (hours at DHA scale on TPU) --
+    thousands).  J never materializes the B = j3c V^(-1/2) tensor --
     only cheap vector solves:
 
         rho_P = (munu|P) D,  c = V^+ rho,  J = (munu|P) c        (robust fit)
 
-    K does need B; it is built once in f32 with HIGHEST-precision MXU
-    matmuls (seconds) -- DF-K carries ~1e-4 fit error anyway, so f32's
-    1e-7 is free.  K = sum_Q (B C)(B C)^T with C the symmetric square
-    root of D (eigenvalues ~{0, 2}: well-conditioned)."""
-    v2c_h = np.asarray(v2c)
-    w, v = np.linalg.eigh(v2c_h)
-    wmax = w.max()
-    keep = w > 1e-10 * wmax
-    inv = np.where(keep, 1.0 / np.where(keep, w, 1.0), 0.0)
-    v_pinv = jnp.asarray((v * inv) @ v.T)
+    K does need B = j3c V^(-1/2); its one-time build costs
+    O(nao^2 naux^2) flops, so the dtype auto-selects: full f64 below ~1e12
+    flops (everything up to ~benzene scale -- keeps DF-SCF at the 1e-6 Eh
+    parity bar), f32 with HIGHEST-precision MXU matmuls beyond (DHA scale,
+    where the aux-fit error dominates f32's 1e-7 anyway).
+    K = sum_Q (B C)(B C)^T with C the symmetric square root of D
+    (eigenvalues ~{0, 2}: well-conditioned)."""
+    v_pinv_h, v_inv_sqrt_h = metric_factors(v2c)
+    v_pinv = jnp.asarray(v_pinv_h)
     j3c_dev = jnp.asarray(j3c)
 
     # NOTE: big tensors are passed as jit ARGUMENTS, never closed over --
@@ -288,8 +307,19 @@ def make_df_builders(j3c, v2c, build_k: bool = True):
     if not build_k:
         return coulomb, None, None
 
-    inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, w, 1.0)), 0.0)
-    x32 = jnp.asarray(((v * inv_sqrt) @ v.T).astype(np.float32))
+    nao, _, naux = j3c_dev.shape
+    if k_dtype is None:
+        k_dtype = _auto_k_dtype(nao, naux)
+
+    if k_dtype == "float64":
+        b64 = _df_b64(j3c_dev, jnp.asarray(v_inv_sqrt_h))
+
+        def exchange(dm):
+            return _df_exchange_f64(b64, dm)
+
+        return coulomb, exchange, b64
+
+    x32 = jnp.asarray(v_inv_sqrt_h.astype(np.float32))
     b32 = _df_b32(j3c_dev, x32)
 
     def exchange(dm):
@@ -302,6 +332,19 @@ def make_df_builders(j3c, v2c, build_k: bool = True):
 def _df_coulomb(j3c, v_pinv, dm):
     rho = jnp.einsum("ijq,ij->q", j3c, dm)
     return jnp.einsum("ijq,q->ij", j3c, v_pinv @ rho)
+
+
+@jax.jit
+def _df_b64(j3c, v_inv_sqrt):
+    return jnp.einsum("ijp,pq->ijq", j3c, v_inv_sqrt)
+
+
+@jax.jit
+def _df_exchange_f64(b, dm):
+    wd, vd = jnp.linalg.eigh(dm)
+    c = vd * jnp.sqrt(jnp.maximum(wd, 0.0))
+    t = jnp.einsum("ijq,jk->ikq", b, c)
+    return jnp.einsum("ikq,jkq->ij", t, t)
 
 
 @jax.jit

@@ -60,6 +60,7 @@ def prepare(
     if density_fit is None:
         density_fit = basis.nao > 110
     df_j = df_k = None
+    j3c = v2c = None
     eri = None
     if density_fit:
         from quantum_compute_dft_tpu.integrals.density_fitting import (
@@ -87,7 +88,7 @@ def prepare(
 
     sys = make_system(
         hcore, s, eri, ao, grid.weights, ao_grad, mol.energy_nuc(), mol.nocc,
-        df_coulomb=df_j, df_exchange=df_k,
+        df_coulomb=df_j, df_exchange=df_k, df_j3c=j3c, df_v2c=v2c,
     )
     return KSSetup(
         sys=sys,

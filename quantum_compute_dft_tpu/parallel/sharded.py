@@ -82,3 +82,105 @@ def sharded_fock_builders(mesh: Mesh):
         check_vma=False,
     ))
     return jfn, kfn
+
+
+def sharded_df_builders(mesh: Mesh, j3c, v2c, build_k: bool = True,
+                        k_dtype: str | None = None):
+    """Density-fitted J/K over a mesh: j3c (nao, nao, naux) sharded on the
+    AUX axis, density replicated, per-shard contributions psum'd over ICI.
+
+    This is the scalable multi-chip Fock build for systems where the
+    in-core (nao^4) ERI cannot exist (the 117-atom B3LYP north star:
+    nao~377 -> ~160 GB in-core, vs j3c ~4 GB / n_dev per chip here).
+    Replaces the reference's single-GPU (nao^2, nao^2) dgemv
+    (ref src/dft_solver.cu:550-555) at a scale it cannot reach.
+
+        rho_P  = (munu|P) D          per-shard P block, no comm
+        rho    = all_gather(rho_P)   O(naux) over ICI
+        c_P    = [V^+ rho]_P         row-sharded V^+
+        J      = psum( (munu|P) c_P )
+        K      = psum( sum_{P local} (B C)(B C)^T ),  B = j3c V^(-1/2)
+
+    -> build_jk(dm) -> (J, K or None); all outputs replicated (nao, nao).
+    """
+    import numpy as np
+
+    from quantum_compute_dft_tpu.integrals.density_fitting import (
+        _auto_k_dtype,
+        metric_factors,
+    )
+    from quantum_compute_dft_tpu.parallel.mesh import pad_to_multiple
+
+    n_dev = mesh.devices.size
+    j3c = np.asarray(j3c)
+    nao, _, naux = j3c.shape
+    v_pinv_h, v_inv_sqrt_h = metric_factors(v2c)
+
+    j3c_p = pad_to_multiple(j3c, n_dev, 2)
+    naux_pad = j3c_p.shape[2]
+    vp = np.zeros((naux_pad, naux_pad))
+    vp[:naux, :naux] = v_pinv_h
+    aux_sharding = NamedSharding(mesh, P(None, None, GRID_AXIS))
+    j3c_s = jax.device_put(j3c_p, aux_sharding)
+    vp_s = jax.device_put(vp, NamedSharding(mesh, P(GRID_AXIS, None)))
+
+    def j_local(j3c_blk, vp_rows, dm):
+        rho_loc = jnp.einsum("ijq,ij->q", j3c_blk, dm)
+        rho = jax.lax.all_gather(rho_loc, GRID_AXIS, tiled=True)
+        c_loc = vp_rows @ rho
+        return jax.lax.psum(jnp.einsum("ijq,q->ij", j3c_blk, c_loc), GRID_AXIS)
+
+    jfn = jax.jit(shard_map(
+        j_local, mesh=mesh,
+        in_specs=(P(None, None, GRID_AXIS), P(GRID_AXIS, None), P()),
+        out_specs=P(), check_vma=False,
+    ))
+
+    if not build_k:
+        return lambda dm: (jfn(j3c_s, vp_s, dm), None)
+
+    if k_dtype is None:
+        k_dtype = _auto_k_dtype(nao, naux)
+    # B = j3c V^(-1/2), aux-sharded.  f64 below ~1e12 build flops (parity
+    # bar), f32 HIGHEST-precision MXU beyond (DHA scale; see make_df_builders)
+    if k_dtype == "float64":
+        b = jnp.einsum("ijp,pq->ijq", jnp.asarray(j3c_p),
+                       jnp.asarray(pad_to_multiple(
+                           pad_to_multiple(v_inv_sqrt_h, n_dev, 1), n_dev, 0)))
+        prec = None
+    else:
+        b = jnp.einsum(
+            "ijp,pq->ijq",
+            jnp.asarray(j3c_p, jnp.float32),
+            jnp.asarray(pad_to_multiple(
+                pad_to_multiple(v_inv_sqrt_h, n_dev, 1), n_dev, 0), jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        prec = jax.lax.Precision.HIGHEST
+    b_s = jax.device_put(b, aux_sharding)
+
+    def k_local(b_blk, cocc):
+        t = jnp.einsum("ijq,jk->ikq", b_blk, cocc.astype(b_blk.dtype),
+                       precision=prec)
+        k = jnp.einsum("ikq,jkq->ij", t, t, precision=prec)
+        return jax.lax.psum(k, GRID_AXIS)
+
+    kfn = jax.jit(shard_map(
+        k_local, mesh=mesh,
+        in_specs=(P(None, None, GRID_AXIS), P()),
+        out_specs=P(), check_vma=False,
+    ))
+
+    @jax.jit
+    def occ_factor(dm):
+        # symmetric square root of D (eigenvalues ~{0,2}: well-conditioned);
+        # replicated host-side eigh semantics, identical on every shard
+        wd, vd = jnp.linalg.eigh(dm)
+        return vd * jnp.sqrt(jnp.maximum(wd, 0.0))
+
+    def build_jk(dm):
+        j = jfn(j3c_s, vp_s, dm)
+        k = kfn(b_s, occ_factor(dm)).astype(dm.dtype)
+        return j, k
+
+    return build_jk

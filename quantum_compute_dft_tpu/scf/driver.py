@@ -79,6 +79,10 @@ class SCFSystem:
     # density-fitting mode: jitted builders replacing the in-core eri paths
     df_coulomb: Callable | None = None
     df_exchange: Callable | None = None
+    # raw DF tensors (host numpy), kept for the sharded multi-chip path
+    # which re-shards them over the aux axis (parallel/sharded.py)
+    df_j3c: object | None = None
+    df_v2c: object | None = None
 
     def __hash__(self):  # static arg for jit: identity-based
         return id(self)
@@ -96,7 +100,8 @@ class EnergyBreakdown(NamedTuple):
 
 
 def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
-                df_coulomb=None, df_exchange=None) -> SCFSystem:
+                df_coulomb=None, df_exchange=None,
+                df_j3c=None, df_v2c=None) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
@@ -110,6 +115,8 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
         nocc=int(nocc),
         df_coulomb=df_coulomb,
         df_exchange=df_exchange,
+        df_j3c=df_j3c,
+        df_v2c=df_v2c,
     )
 
 
@@ -183,6 +190,27 @@ def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis: DIISState):
     )
     e_tot = e_one + e_coul + e_xc + e_ex + sys.e_nuc
     return dm_new, diis, EnergyBreakdown(e_tot, e_one, e_coul, e_xc, e_ex)
+
+
+def energy_of_dm(sys: SCFSystem, functional: Functional, dm) -> EnergyBreakdown:
+    """Self-consistent total energy at a given density: every term (J, XC,
+    K) is evaluated from THIS dm, so near the SCF fixed point the result
+    is variationally stationary (second-order in density error) -- unlike
+    the per-iteration energy, which mixes dm_new with J(dm_old) exactly as
+    the reference does (ref dft.py:230-236) and therefore carries ~1e-9
+    first-order noise at convergence."""
+    j = _build_j(sys, dm)
+    e_xc, _ = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
+    c_hf = functional.hyb_coeff
+    e_one = jnp.sum(dm * sys.hcore)
+    e_coul = 0.5 * jnp.sum(dm * j)
+    if c_hf != 0.0:
+        k = _build_k(sys, dm)
+        e_ex = -0.25 * c_hf * jnp.sum(dm * k)
+    else:
+        e_ex = jnp.asarray(0.0)
+    e_tot = e_one + e_coul + e_xc + e_ex + sys.e_nuc
+    return EnergyBreakdown(e_tot, e_one, e_coul, e_xc, e_ex)
 
 
 def initial_guess(sys: SCFSystem) -> jnp.ndarray:
