@@ -176,6 +176,25 @@ def _shell_self_overlap(l: int, alphas, coeffs) -> float:
 
 
 def build_basis(mol: Molecule) -> BasisSet:
+    # warn once per element when the STO-3G tables for it are not the
+    # published (canonical) values -- sub-1e-6 Eh parity with a reference
+    # PySCF sto-3g run cannot be guaranteed for such molecules
+    import warnings
+
+    from quantum_compute_dft_tpu.basis.data import provenance
+
+    for sym in sorted(set(mol.symbols)):
+        prov = provenance(sym)
+        if prov != "canonical":
+            warnings.warn(
+                f"STO-3G tables for element {sym} are '{prov}' "
+                "(physics-anchored, NOT the published values); energies "
+                "will differ from reference sto-3g results. Import exact "
+                "tables with tools/import_basis.py to fix.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
     shells: list[Shell] = []
     for ia, sym in enumerate(mol.symbols):
         for shell_name, l, alphas, coeffs in element_shells(sym):

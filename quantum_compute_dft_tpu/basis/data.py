@@ -16,13 +16,20 @@ universal * 1.75**2 with cs = -0.21962037/0.22559543/0.90039843).
 
 Zeta provenance is per element:
   * 'canonical'      -- cross-verified against published STO-3G exponent
-                        tables (all of periods 1-2 and Na/P/S/Cl).
-  * 'interpolated'   -- 2-decimal values interpolated along the verified
-                        period-3 trend lines.
-  * 'reconstructed'  -- calibrated Slater-rule estimates (period 4-5);
-                        functional and smooth, but NOT the published
-                        values.  tools/import_basis.py can override them
+                        tables (all of periods 1-3 plus K and Ca).
+  * 'atomic'         -- best-atom zetas in the Clementi(-Raimondi) style,
+                        anchored to the canonical K/Ca/Br-1s values and
+                        smooth in Z; inner shells are accurate to ~1%,
+                        but these are NOT the published STO-3G values.
+  * 'estimated'      -- valence/d shells beyond Ca: physics-guided
+                        molecular scale factors following the verified
+                        period 2-3 contraction pattern; roughest tier.
+                        tools/import_basis.py can override both tiers
                         from an NWChem-format basis file when available.
+
+Elements with non-canonical shells trigger a RuntimeWarning at basis
+build (basis_set.build_basis) because sub-1e-6 Eh parity with the
+published STO-3G cannot be guaranteed for them.
 
 This replaces the reference's dependency on PySCF's built-in 'sto-3g'
 tables (ref grid.py:45, dft.py:276).
@@ -101,7 +108,7 @@ def shells_for_z(z: int) -> list[str]:
 # ---------------------------------------------------------------------------
 # Slater exponents zeta per element/shell.  (zeta, provenance)
 # ---------------------------------------------------------------------------
-_C, _I, _R = "canonical", "interpolated", "reconstructed"
+_C, _A, _E = "canonical", "atomic", "estimated"
 
 ZETA: dict[str, dict[str, tuple[float, str]]] = {
     "H":  {"1s": (1.24, _C)},
@@ -115,119 +122,158 @@ ZETA: dict[str, dict[str, tuple[float, str]]] = {
     "F":  {"1s": (8.65, _C), "2sp": (2.55, _C)},
     "Ne": {"1s": (9.64, _C), "2sp": (2.88, _C)},
     "Na": {"1s": (10.61, _C), "2sp": (3.48, _C), "3sp": (1.75, _C)},
-    "Mg": {"1s": (11.58, _I), "2sp": (3.92, _I), "3sp": (1.70, _I)},
-    "Al": {"1s": (12.56, _I), "2sp": (4.36, _I), "3sp": (1.70, _I)},
-    "Si": {"1s": (13.53, _I), "2sp": (4.83, _I), "3sp": (1.75, _I)},
-    "P":  {"1s": (14.50, _C), "2sp": (5.31, _C), "3sp": (1.90, _I)},
+    # Mg row cross-checked against the published exponents
+    # (1s 299.2374 = 2.2276606*11.59^2; 2sp 15.1218 = 0.994203*3.90^2;
+    # 3sp 1.39545 = 0.48285408*1.70^2)
+    "Mg": {"1s": (11.59, _C), "2sp": (3.90, _C), "3sp": (1.70, _C)},
+    "Al": {"1s": (12.56, _C), "2sp": (4.36, _C), "3sp": (1.70, _C)},
+    "Si": {"1s": (13.53, _C), "2sp": (4.83, _C), "3sp": (1.75, _C)},
+    "P":  {"1s": (14.50, _C), "2sp": (5.31, _C), "3sp": (1.90, _C)},
     "S":  {"1s": (15.47, _C), "2sp": (5.79, _C), "3sp": (2.05, _C)},
     "Cl": {"1s": (16.43, _C), "2sp": (6.26, _C), "3sp": (2.10, _C)},
-    "Ar": {"1s": (17.40, _I), "2sp": (6.74, _I), "3sp": (2.33, _I)},
+    "Ar": {"1s": (17.40, _C), "2sp": (6.74, _C), "3sp": (2.33, _C)},
+    # K/Ca rows cross-checked against the published exponent triplets
+    # (each shell's three exponents are a single zeta^2 scaling of the
+    # universal fit, e.g. K 1s 771.51037/2.2276606 = 18.61^2, 4sp
+    # 0.50398225/0.24645606 = 1.43^2); the strong valence contraction vs
+    # the atomic 4s (1.43 vs 0.87) mirrors the verified Na 3sp case
+    # (1.75 vs 0.84).
+    "K":  {"1s": (18.61, _C), "2sp": (7.26, _C), "3sp": (2.75, _C),
+           "4sp": (1.43, _C)},
+    "Ca": {"1s": (19.58, _C), "2sp": (7.74, _C), "3sp": (3.01, _C),
+           "4sp": (1.36, _C)},
 }
 
-# Period 4-5 zetas are reconstructed by calibrated Slater rules at import
-# (see _reconstruct_heavy below); entries land in ZETA with provenance
-# 'reconstructed'.
+# ---------------------------------------------------------------------------
+# Z = 21-54: physics-anchored best-atom zetas ('atomic') for inner shells
+# and molecular-pattern estimates ('estimated') for valence/d shells.
+#
+# Derivation (documented so the next round can audit/refine):
+#   1s:  Clementi-style best-atom values run ~Z-0.51 at Z~20 and the
+#        published STO-3G zetas sit ~+0.11 above them (K 18.61 vs 18.49,
+#        Ca 19.58 vs 19.47, Br 34.36 vs 34.25 -- the Br 1s published
+#        exponent 2629.9974 = 2.2276606*34.36^2 validates the offset).
+#        We therefore use zeta_1s(Z) = CR_1s(Z) + 0.11 with CR_1s linear
+#        between the K/Ca/Br anchors.
+#   2sp: anchored at K 7.26 / Ca 7.74 with the observed +0.475/Z step
+#        (the period-3 canonical step is +0.466).
+#   3sp: anchored at Ca 3.01; step +0.225/Z through the 3d block (the
+#        added d electron screens the 3s/3p core substantially), +0.235
+#        beyond.
+#   3d:  Clementi-Raimondi best-atom 3d values (smooth, well known).
+#   4sp (period 4 valence): Sc-Zn fixed at 1.20 (the standard molecular
+#        scale factor of the transition-metal STO-3G papers); Ga-Kr follow
+#        the period-3 valence progression.
+#   Period 5 continues each trend; 4d/5sp use the same style of anchors.
+# ---------------------------------------------------------------------------
+_HEAVY: dict[str, dict[str, tuple[float, str]]] = {
+    # Z = 21-30 (3d transition metals)
+    "Sc": {"1s": (20.56, _A), "2sp": (8.21, _A), "3sp": (3.24, _A),
+           "3d": (2.37, _A), "4sp": (1.20, _E)},
+    "Ti": {"1s": (21.54, _A), "2sp": (8.69, _A), "3sp": (3.46, _A),
+           "3d": (2.71, _A), "4sp": (1.20, _E)},
+    "V":  {"1s": (22.53, _A), "2sp": (9.17, _A), "3sp": (3.69, _A),
+           "3d": (2.99, _A), "4sp": (1.20, _E)},
+    "Cr": {"1s": (23.52, _A), "2sp": (9.64, _A), "3sp": (3.91, _A),
+           "3d": (3.25, _A), "4sp": (1.20, _E)},
+    "Mn": {"1s": (24.50, _A), "2sp": (10.12, _A), "3sp": (4.14, _A),
+           "3d": (3.51, _A), "4sp": (1.20, _E)},
+    "Fe": {"1s": (25.49, _A), "2sp": (10.59, _A), "3sp": (4.36, _A),
+           "3d": (3.73, _A), "4sp": (1.20, _E)},
+    "Co": {"1s": (26.47, _A), "2sp": (11.07, _A), "3sp": (4.59, _A),
+           "3d": (3.95, _A), "4sp": (1.20, _E)},
+    "Ni": {"1s": (27.46, _A), "2sp": (11.54, _A), "3sp": (4.81, _A),
+           "3d": (4.18, _A), "4sp": (1.20, _E)},
+    "Cu": {"1s": (28.44, _A), "2sp": (12.02, _A), "3sp": (5.04, _A),
+           "3d": (4.40, _A), "4sp": (1.20, _E)},
+    "Zn": {"1s": (29.43, _A), "2sp": (12.49, _A), "3sp": (5.26, _A),
+           "3d": (4.63, _A), "4sp": (1.20, _E)},
+    # Z = 31-36 (main group, filled 3d core)
+    "Ga": {"1s": (30.42, _A), "2sp": (12.97, _A), "3sp": (5.50, _A),
+           "3d": (5.03, _A), "4sp": (1.77, _E)},
+    "Ge": {"1s": (31.40, _A), "2sp": (13.44, _A), "3sp": (5.73, _A),
+           "3d": (5.42, _A), "4sp": (1.93, _E)},
+    "As": {"1s": (32.39, _A), "2sp": (13.92, _A), "3sp": (5.97, _A),
+           "3d": (5.79, _A), "4sp": (2.05, _E)},
+    "Se": {"1s": (33.37, _A), "2sp": (14.39, _A), "3sp": (6.20, _A),
+           "3d": (6.16, _A), "4sp": (2.15, _E)},
+    "Br": {"1s": (34.36, _A), "2sp": (14.87, _A), "3sp": (6.44, _A),
+           "3d": (6.52, _A), "4sp": (2.25, _E)},
+    "Kr": {"1s": (35.34, _A), "2sp": (15.34, _A), "3sp": (6.67, _A),
+           "3d": (6.88, _A), "4sp": (2.35, _E)},
+    # Z = 37-48 (period 5 through the 4d block)
+    "Rb": {"1s": (36.33, _A), "2sp": (15.82, _A), "3sp": (6.91, _A),
+           "3d": (7.23, _A), "4sp": (2.65, _E), "5sp": (1.40, _E)},
+    "Sr": {"1s": (37.31, _A), "2sp": (16.29, _A), "3sp": (7.14, _A),
+           "3d": (7.58, _A), "4sp": (2.85, _E), "5sp": (1.35, _E)},
+    "Y":  {"1s": (38.30, _A), "2sp": (16.77, _A), "3sp": (7.38, _A),
+           "3d": (7.93, _A), "4sp": (3.00, _E), "4d": (1.90, _E),
+           "5sp": (1.20, _E)},
+    "Zr": {"1s": (39.28, _A), "2sp": (17.24, _A), "3sp": (7.61, _A),
+           "3d": (8.28, _A), "4sp": (3.15, _E), "4d": (2.15, _E),
+           "5sp": (1.20, _E)},
+    "Nb": {"1s": (40.27, _A), "2sp": (17.72, _A), "3sp": (7.85, _A),
+           "3d": (8.63, _A), "4sp": (3.30, _E), "4d": (2.40, _E),
+           "5sp": (1.20, _E)},
+    "Mo": {"1s": (41.25, _A), "2sp": (18.19, _A), "3sp": (8.08, _A),
+           "3d": (8.98, _A), "4sp": (3.45, _E), "4d": (2.65, _E),
+           "5sp": (1.20, _E)},
+    "Tc": {"1s": (42.24, _A), "2sp": (18.67, _A), "3sp": (8.32, _A),
+           "3d": (9.33, _A), "4sp": (3.60, _E), "4d": (2.88, _E),
+           "5sp": (1.20, _E)},
+    "Ru": {"1s": (43.22, _A), "2sp": (19.14, _A), "3sp": (8.55, _A),
+           "3d": (9.68, _A), "4sp": (3.75, _E), "4d": (3.10, _E),
+           "5sp": (1.20, _E)},
+    "Rh": {"1s": (44.21, _A), "2sp": (19.62, _A), "3sp": (8.79, _A),
+           "3d": (10.03, _A), "4sp": (3.90, _E), "4d": (3.32, _E),
+           "5sp": (1.20, _E)},
+    "Pd": {"1s": (45.19, _A), "2sp": (20.09, _A), "3sp": (9.02, _A),
+           "3d": (10.38, _A), "4sp": (4.05, _E), "4d": (3.54, _E),
+           "5sp": (1.20, _E)},
+    "Ag": {"1s": (46.18, _A), "2sp": (20.57, _A), "3sp": (9.26, _A),
+           "3d": (10.73, _A), "4sp": (4.20, _E), "4d": (3.76, _E),
+           "5sp": (1.20, _E)},
+    "Cd": {"1s": (47.16, _A), "2sp": (21.04, _A), "3sp": (9.49, _A),
+           "3d": (11.08, _A), "4sp": (4.35, _E), "4d": (3.98, _E),
+           "5sp": (1.20, _E)},
+    # Z = 49-54 (main group, filled 4d core)
+    "In": {"1s": (48.15, _A), "2sp": (21.52, _A), "3sp": (9.73, _A),
+           "3d": (11.43, _A), "4sp": (4.58, _E), "4d": (4.20, _E),
+           "5sp": (1.77, _E)},
+    "Sn": {"1s": (49.13, _A), "2sp": (21.99, _A), "3sp": (9.96, _A),
+           "3d": (11.78, _A), "4sp": (4.81, _E), "4d": (4.42, _E),
+           "5sp": (1.90, _E)},
+    "Sb": {"1s": (50.12, _A), "2sp": (22.47, _A), "3sp": (10.20, _A),
+           "3d": (12.13, _A), "4sp": (5.04, _E), "4d": (4.64, _E),
+           "5sp": (2.00, _E)},
+    "Te": {"1s": (51.10, _A), "2sp": (22.94, _A), "3sp": (10.43, _A),
+           "3d": (12.48, _A), "4sp": (5.27, _E), "4d": (4.86, _E),
+           "5sp": (2.10, _E)},
+    "I":  {"1s": (52.09, _A), "2sp": (23.42, _A), "3sp": (10.67, _A),
+           "3d": (12.83, _A), "4sp": (5.50, _E), "4d": (5.08, _E),
+           "5sp": (2.20, _E)},
+    "Xe": {"1s": (53.07, _A), "2sp": (23.89, _A), "3sp": (10.90, _A),
+           "3d": (13.18, _A), "4sp": (5.73, _E), "4d": (5.30, _E),
+           "5sp": (2.30, _E)},
+}
+ZETA.update(_HEAVY)
 
-# Aufbau electron configurations for the Slater screening counts.
-# Exceptions move one s electron into the d shell (Cr/Cu/Nb/Mo/Ru/Rh/Ag; Pd
-# moves both).
-_EXCEPTIONS = {"Cr": ("4s", "3d", 1), "Cu": ("4s", "3d", 1),
-               "Nb": ("5s", "4d", 1), "Mo": ("5s", "4d", 1),
-               "Ru": ("5s", "4d", 1), "Rh": ("5s", "4d", 1),
-               "Pd": ("5s", "4d", 2), "Ag": ("5s", "4d", 1)}
+def provenance(symbol: str) -> str:
+    """Worst provenance tier across an element's shells:
+    'canonical' > 'atomic' > 'estimated'."""
+    try:
+        from quantum_compute_dft_tpu.basis.sto3g_override import SHELLS
 
-_AUFBAU = ["1s", "2s", "2p", "3s", "3p", "4s", "3d", "4p", "5s", "4d", "5p"]
-_CAP = {"s": 2, "p": 6, "d": 10}
-
-
-def electron_config(symbol: str, z: int) -> dict[str, int]:
-    cfg: dict[str, int] = {}
-    rem = z
-    for sub in _AUFBAU:
-        take = min(_CAP[sub[-1]], rem)
-        if take:
-            cfg[sub] = take
-        rem -= take
-        if rem == 0:
-            break
-    if symbol in _EXCEPTIONS:
-        src, dst, k = _EXCEPTIONS[symbol]
-        if cfg.get(src, 0) >= k:
-            cfg[src] -= k
-            cfg[dst] = cfg.get(dst, 0) + k
-    return cfg
-
-
-def _slater_zeta(symbol: str, z: int, n: int, l: int) -> float:
-    """Slater's rules effective exponent for subshell (n, l)."""
-    cfg = electron_config(symbol, z)
-    group = []  # subshells in the same Slater group
-    if l <= 1:
-        group = [f"{n}s", f"{n}p"]
-    else:
-        group = [f"{n}{'spdf'[l]}"]
-    same = sum(cfg.get(g, 0) for g in group)
-    sigma = 0.35 * max(same - 1, 0)
-    if n == 1:
-        sigma = 0.30 * max(same - 1, 0)
-    for sub, occ in cfg.items():
-        ns, ls = int(sub[0]), "spdf".index(sub[1])
-        if sub in group:
-            continue
-        if l <= 1:
-            if ns == n - 1:
-                sigma += 0.85 * occ
-            elif ns < n - 1:
-                sigma += 1.00 * occ
-            elif ns == n and ls >= 2:
-                # d/f in same n screen s/p fully? Slater: same-n d counts in
-                # lower groups for s/p -> 1.00 each (d is "inner" to sp)
-                sigma += 0.0  # d electrons are *outside* in Slater ordering
-        else:  # d shell: everything below screens fully, same group 0.35
-            if (ns < n) or (ns == n and ls < l):
-                sigma += 1.00 * occ
-    nstar = {1: 1.0, 2: 2.0, 3: 3.0, 4: 3.7, 5: 4.0}[n]
-    return max((z - sigma) / nstar, 0.30)
-
-
-def _calibrate() -> dict[str, float]:
-    """Per-shell ratio published/Slater averaged over the verified table."""
-    from quantum_compute_dft_tpu.mol.elements import Z_OF
-
-    ratios: dict[str, list[float]] = {"1s": [], "2sp": [], "3sp": []}
-    for sym, shells in ZETA.items():
-        z = Z_OF[sym]
-        for shell, (zeta, prov) in shells.items():
-            if prov != _C:
-                continue
-            n = int(shell[0])
-            l = 0 if shell.endswith("s") or shell.endswith("sp") else 2
-            sl = _slater_zeta(sym, z, n, l)
-            ratios.setdefault(shell, []).append(zeta / sl)
-    return {k: (sum(v) / len(v) if v else 1.0) for k, v in ratios.items()}
-
-
-def _reconstruct_heavy() -> None:
-    from quantum_compute_dft_tpu.mol.elements import SYMBOLS
-
-    cal = _calibrate()
-    # shells beyond period 3 reuse the outermost calibration factor
-    fallback = cal.get("3sp", 1.0)
-    for z in range(19, 55):
-        sym = SYMBOLS[z]
-        if sym in ZETA:
-            continue
-        entry: dict[str, tuple[float, str]] = {}
-        for shell in shells_for_z(z):
-            n = int(shell[0])
-            l = 2 if shell.endswith("d") else 0
-            factor = cal.get(shell, fallback)
-            zeta = _slater_zeta(sym, z, n, l) * factor
-            entry[shell] = (round(zeta, 4), _R)
-        ZETA[sym] = entry
-
-
-_reconstruct_heavy()
+        if symbol in SHELLS:
+            return _C
+    except ImportError:
+        pass
+    order = {_C: 0, _A: 1, _E: 2}
+    worst = _C
+    for _, prov in ZETA[symbol].values():
+        if order[prov] > order[worst]:
+            worst = prov
+    return worst
 
 
 def element_shells(symbol: str) -> list[tuple[str, int, tuple[float, ...], tuple[float, ...]]]:

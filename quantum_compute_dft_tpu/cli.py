@@ -142,7 +142,19 @@ def main(argv=None) -> int:
     dm0 = None
     if args.checkpoint and os.path.exists(args.checkpoint):
         ck = load_checkpoint(args.checkpoint)
-        if ck["dm"].shape[0] == setup.nao:
+        # the stored metadata must match, not just nao: a checkpoint from a
+        # different molecule/functional with the same nao is a wrong guess
+        if ck["dm"].shape[0] != setup.nao:
+            print(f"Checkpoint {args.checkpoint} has nao={ck['dm'].shape[0]} "
+                  f"!= {setup.nao}; starting from the Hcore guess.")
+        elif ck["molecule"] and ck["molecule"] != mol_name:
+            print(f"Checkpoint {args.checkpoint} is for molecule "
+                  f"{ck['molecule']!r}, not {mol_name!r}; skipping resume.")
+        elif ck["functional"] and ck["functional"] != setup.functional.name:
+            print(f"Checkpoint {args.checkpoint} is for functional "
+                  f"{ck['functional']}, not {setup.functional.name}; "
+                  "skipping resume.")
+        else:
             dm0 = ck["dm"]
             print(f"Resuming from checkpoint {args.checkpoint} "
                   f"(cycle {ck['cycle']}, E={ck['e_tot']:.8f})")
@@ -189,19 +201,29 @@ def main(argv=None) -> int:
                         setup.functional.name, mol_name)
 
     # standalone XC kernel statistic (the reference's "XC(Exc+Vxc) Time",
-    # ref dft.py:205-208): time the jitted XC step on the converged density.
+    # ref dft.py:205-208): time the XC step of the engine that actually ran
+    # the SCF (--xc-impl), not unconditionally the f64 path.
     import jax
 
-    exc, vxc = xc_step(setup.functional, dm, setup.sys.ao, setup.sys.weights,
-                       setup.sys.ao_grad)
+    use_pallas = args.xc_impl in ("pallas", "mixed") and \
+        jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
+
+        xc_fn = xc_step_pallas
+    else:
+        xc_fn = xc_step
+    exc, vxc = xc_fn(setup.functional, dm, setup.sys.ao, setup.sys.weights,
+                     setup.sys.ao_grad)
     jax.block_until_ready(vxc)
     reps = 10
     t0 = time.time()
     for _ in range(reps):
-        exc, vxc = xc_step(setup.functional, dm, setup.sys.ao,
-                           setup.sys.weights, setup.sys.ao_grad)
+        exc, vxc = xc_fn(setup.functional, dm, setup.sys.ao,
+                         setup.sys.weights, setup.sys.ao_grad)
     jax.block_until_ready(vxc)
     xc_ms = (time.time() - t0) / reps * 1000.0
+    xc_label = "pallas f32" if use_pallas else "f64"
 
     print("-" * 80)
     if converged:
@@ -218,7 +240,7 @@ def main(argv=None) -> int:
     print(f"SCF time     : {total_time:.4f} s")
     print("-" * 80)
     print("Kernel statistics (avg per call):")
-    print(f"  XC(Exc+Vxc): {xc_ms:.4f} ms")
+    print(f"  XC(Exc+Vxc): {xc_ms:.4f} ms  [{xc_label} engine]")
     print("-" * 80)
 
     if args.validate:
@@ -236,9 +258,15 @@ def _validate(mol, functional, e_tot, atom_path):
     xc = {"LDA": "slater,vwn5", "GGA": "PBE,PBE", "PBE": "PBE,PBE",
           "B3LYP": "b3lyp", "HF": "hf"}[functional]
     m = gto.Mole()
+    # reuse the native parser (mol/xyz.py) rather than re-reading with a
+    # hard-coded 2-line header strip: the native parser also accepts
+    # header-less xyz files, and stripping those would silently drop atoms
+    from quantum_compute_dft_tpu.mol.xyz import parse_xyz_text
+
     with open(atom_path) as f:
-        lines = f.readlines()
-    m.atom = "".join(lines[2:])
+        atoms = parse_xyz_text(f.read())
+    m.atom = [(sym, xyz) for sym, xyz in atoms]
+    m.charge = mol.charge
     m.basis = "sto-3g"
     m.verbose = 0
     m.build()

@@ -25,9 +25,9 @@ if _cache_dir and _cache_dir != "0":
 # Default dtype for the parity path.
 DTYPE = "float64"
 
-# Floors matching the reference guards (src/dft_solver.cu:12-13).
-RHO_EPS = 1e-12
-MIN_GRAD = 1e-20
+# The density/gradient floors analogous to the reference guards
+# (src/dft_solver.cu:12-13) live in xc/functionals.py (RHO_EPS/MIN_GRAD),
+# raised to 1e-10/1e-18 for TPU float-float's f32 exponent range.
 
 
 def default_backend() -> str:

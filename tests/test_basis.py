@@ -27,6 +27,54 @@ def test_na_3sp_canonical():
     assert np.allclose(sp[2], [1.4787406, 0.4125649, 0.1614751], atol=2e-6)
 
 
+def test_mg_canonical_rows():
+    # published Mg STO-3G: 1s 299.2374/54.5065/14.7516, 2sp 15.1218/...,
+    # 3sp 1.3954/0.3893/0.1524 (zeta 11.59 / 3.90 / 1.70)
+    shells = element_shells("Mg")
+    one_s = [s for s in shells if s[0] == "1s"][0]
+    assert np.allclose(one_s[2], [299.2374, 54.5065, 14.7516], rtol=1e-4)
+    sp2 = [s for s in shells if s[0] == "2sp"][0]
+    assert np.allclose(sp2[2], [15.12182, 3.513987, 1.142857], rtol=1e-4)
+    sp3 = [s for s in shells if s[0] == "3sp"][0]
+    assert np.allclose(sp3[2], [1.395448, 0.389327, 0.152380], rtol=1e-4)
+
+
+def test_k_ca_canonical_rows():
+    # published K/Ca STO-3G exponent triplets (single-zeta scalings of the
+    # universal fits; K 1s 771.5104 = 2.2276606*18.61^2 etc.)
+    k = element_shells("K")
+    assert np.allclose([s for s in k if s[0] == "1s"][0][2],
+                       [771.5104, 140.5316, 38.03333], rtol=1e-4)
+    assert np.allclose([s for s in k if s[0] == "4sp"][0][2],
+                       [0.5039822, 0.1860011, 0.0821401], rtol=1e-4)
+    ca = element_shells("Ca")
+    assert np.allclose([s for s in ca if s[0] == "1s"][0][2],
+                       [854.0325, 155.5631, 42.10144], rtol=1e-4)
+    assert np.allclose([s for s in ca if s[0] == "4sp"][0][2],
+                       [0.4558490, 0.1682369, 0.0742952], rtol=1e-4)
+
+
+def test_provenance_tiers_and_warning():
+    import warnings
+
+    from quantum_compute_dft_tpu.basis.data import provenance
+
+    # all of periods 1-3 + K/Ca are canonical now
+    for sym in ["H", "He", "C", "N", "O", "F", "Na", "Mg", "Al", "Si", "P",
+                "S", "Cl", "Ar", "K", "Ca"]:
+        assert provenance(sym) == "canonical", sym
+    for sym in ["Cu", "As", "Se", "Br", "Mo", "I"]:
+        assert provenance(sym) in ("atomic", "estimated"), sym
+
+    # canonical molecules build silently ...
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        build_basis(from_xyz_text("Ca 0 0 0\nO 0 0 2.2"))
+    # ... non-canonical ones warn
+    with pytest.warns(RuntimeWarning, match="STO-3G tables for element Br"):
+        build_basis(from_xyz_text("Br 0 0 0\nH 0 0 1.41"))
+
+
 def test_all_reference_elements_covered():
     # every element in the reference molecule set must have tables
     for sym in ["H", "He", "C", "N", "O", "F", "Na", "Si", "P", "S", "Cl",
