@@ -5,13 +5,20 @@ reference convergence criteria (|dE| < 1e-8, ||dD|| < 1e-6; ref
 dft.py:243), measured on the SCF loop only (the reference's "Total Time",
 ref dft.py:245,258), after a warm-up run that pays compilation.  Also
 reports the per-call XC build time (the reference's "XC(Exc+Vxc) Time",
-ref dft.py:246-261) and the energy for sanity.
+ref dft.py:246-261) for the engine that actually ran the SCF, plus its
+achieved FLOP rate and MXU utilization (pallas_mfu) against the chip's
+f32 peak.
 
 Setup (integrals, grids, AO values) runs on the host CPU backend; the SCF
-hot loop runs on the default device (TPU when present).  vs_baseline is
-the speedup vs the reference's published number -- the reference publishes
-none (BASELINE.md), so the first recorded round is the baseline (1.0) and
-later rounds compare against BENCH_r1.
+hot loop runs on the default device (TPU when present).  Molecules above
+nao ~ 110 automatically use the density-fitted Fock build (the in-core
+(nao^4) ERI the reference requires cannot exist at DHA scale).
+vs_baseline is the speedup vs the reference's published number -- the
+reference publishes none (BASELINE.md), so the first recorded round is
+the baseline (1.0) and later rounds compare against BENCH_r1.
+
+Env knobs: BENCH_MOLECULE, BENCH_FUNCTIONAL, BENCH_GRID_LEVEL,
+BENCH_XC_IMPL (f64|pallas|mixed), BENCH_BASELINE_S, BENCH_PEAK_TFLOPS.
 """
 
 from __future__ import annotations
@@ -34,6 +41,39 @@ FUNCTIONAL = os.environ.get("BENCH_FUNCTIONAL", "GGA")
 GRID_LEVEL = int(os.environ.get("BENCH_GRID_LEVEL", "3"))
 BASELINE_S = os.environ.get("BENCH_BASELINE_S")  # optional reference seconds
 
+# f32 matmul peak per chip generation (TFLOP/s); MFU denominators.
+# Overridable with BENCH_PEAK_TFLOPS for new device kinds.
+_PEAK_F32_TFLOPS = {
+    "TPU v2": 23.0,
+    "TPU v3": 61.0,
+    "TPU v4": 137.0,
+    "TPU v5": 197.0,
+    "TPU v5e": 98.0,
+    "TPU v5p": 229.0,
+    "TPU v6e": 458.0,
+}
+
+
+def _peak_tflops() -> float:
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = jax.devices()[0].device_kind
+    for key, val in _PEAK_F32_TFLOPS.items():
+        if key.lower() in kind.lower():
+            return val
+    return 137.0  # assume v4-class if unrecognized
+
+
+def _xc_flops(g: int, n: int, needs_grad: bool) -> int:
+    """Useful (unpadded) FLOPs of one fused XC build: the two (g, n) x
+    (n, n) GEMMs (phi_D = AO D and V = AO^T B) plus the O(g n) row work
+    (rho, grad-rho dots, B assembly).  Transcendental functional math is
+    O(g) and excluded."""
+    gemms = 4 * g * n * n
+    row = (20 if needs_grad else 6) * g * n
+    return gemms + row
+
 
 def main() -> int:
     t_all = time.time()
@@ -46,22 +86,41 @@ def main() -> int:
         here = os.path.dirname(os.path.abspath(__file__))
         path = os.path.join(here, "molecules", MOLECULE + ".xyz")
         mol = from_xyz_file(path)
-        setup = kohn_sham.prepare(mol, FUNCTIONAL, grid_level=GRID_LEVEL)
+        density_fit = None  # auto: in-core below nao ~ 110, DF above
+        if os.environ.get("BENCH_DF"):
+            density_fit = os.environ["BENCH_DF"] == "1"
+        setup = kohn_sham.prepare(mol, FUNCTIONAL, grid_level=GRID_LEVEL,
+                                  density_fit=density_fit)
 
     from quantum_compute_dft_tpu.scf.driver import make_system, scf_host_staged
     from quantum_compute_dft_tpu.engine.xc_engine import xc_step
     from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
-    # re-place the system on the default (accelerator) device
+    # re-place the system on the default (accelerator) device; in DF mode
+    # (sys.eri is None -- every molecule above nao ~ 110) rebuild the DF
+    # J/K builders outside the host-device context so their tensors live
+    # on the accelerator
+    df_j = df_k = None
+    if setup.sys.eri is None:
+        from quantum_compute_dft_tpu.integrals.density_fitting import (
+            make_df_builders,
+        )
+
+        df_j, df_k, _ = make_df_builders(
+            setup.sys.df_j3c, setup.sys.df_v2c,
+            build_k=setup.functional.hyb_coeff != 0.0,
+        )
     sys_dev = make_system(
         np.asarray(setup.sys.hcore),
         np.asarray(setup.sys.s),
-        np.asarray(setup.sys.eri),
+        None if setup.sys.eri is None else np.asarray(setup.sys.eri),
         np.asarray(setup.sys.ao),
         np.asarray(setup.sys.weights),
         None if setup.sys.ao_grad is None else np.asarray(setup.sys.ao_grad),
         setup.sys.e_nuc,
         setup.sys.nocc,
+        df_coulomb=df_j,
+        df_exchange=df_k,
     )
 
     # warm-up (compile; staged dispatches keep the remote TPU compiler fast)
@@ -78,46 +137,65 @@ def main() -> int:
     scf_s = time.time() - t0
     dm, eb, n_iter, done = res.dm, res.energy, res.n_iter, res.converged
 
-    # XC per-call statistic on the converged density
-    exc, vxc = xc_step(setup.functional, dm, sys_dev.ao, sys_dev.weights,
-                       sys_dev.ao_grad)
-    jax.block_until_ready(vxc)
-    reps = 20
-    t0 = time.time()
-    for _ in range(reps):
-        exc, vxc = xc_step(setup.functional, dm, sys_dev.ao, sys_dev.weights,
-                           sys_dev.ao_grad)
-    jax.block_until_ready(vxc)
-    xc_ms = (time.time() - t0) / reps * 1000.0
+    # XC per-call statistic on the converged density, timing the engine
+    # that the SCF actually used (--xc-impl), not unconditionally f64
+    use_pallas = xc_impl in ("pallas", "mixed")
+    if use_pallas:
+        from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
 
-    # XC pipeline FLOP estimate: rho (2*G*N^2) + grad-rho (3 GEMM-likes) +
-    # B build + V GEMM (2*G*N^2)
+        xc_fn = xc_step_pallas
+    else:
+        xc_fn = xc_step
+
+    def _time_xc(fn, reps):
+        exc, vxc = fn(setup.functional, dm, sys_dev.ao, sys_dev.weights,
+                      sys_dev.ao_grad)
+        jax.block_until_ready(vxc)
+        t0 = time.time()
+        for _ in range(reps):
+            exc, vxc = fn(setup.functional, dm, sys_dev.ao, sys_dev.weights,
+                          sys_dev.ao_grad)
+        jax.block_until_ready(vxc)
+        return (time.time() - t0) / reps * 1000.0
+
+    xc_ms = _time_xc(xc_fn, 20)
+
     G, N = sys_dev.ao.shape
-    flops = 2 * G * N * N * (2 + (4 if setup.functional.needs_grad else 0))
+    flops = _xc_flops(G, N, setup.functional.needs_grad)
     gflops = flops / (xc_ms / 1000.0) / 1e9
+    extra = {
+        "e_tot": round(float(eb.e_tot), 8),
+        "converged": bool(done),
+        "n_iter": int(n_iter),
+        "nao": int(N),
+        "ngrid": int(G),
+        "density_fit": bool(sys_dev.eri is None),
+        "xc_ms_per_call": round(xc_ms, 3),
+        "xc_gflops": round(gflops, 2),
+        "xc_impl": xc_impl,
+        "xc_engine_timed": "pallas f32" if use_pallas else "jnp f64",
+        "device": str(jax.devices()[0]),
+        "setup_s": round(setup.build_time, 2),
+        "total_s": None,  # filled below
+    }
+    if use_pallas:
+        extra["pallas_mfu"] = round(gflops / (_peak_tflops() * 1e3), 4)
+        extra["peak_f32_tflops"] = _peak_tflops()
+        # the f64 number too, for the parity-path record
+        f64_ms = _time_xc(xc_step, 5)
+        extra["xc_ms_per_call_f64"] = round(f64_ms, 3)
 
     vs_baseline = 1.0
     if BASELINE_S:
         vs_baseline = float(BASELINE_S) / scf_s
 
+    extra["total_s"] = round(time.time() - t_all, 2)
     result = {
         "metric": f"{MOLECULE.lower()}_{setup.functional.name.lower()}_scf_wallclock",
         "value": round(scf_s, 4),
         "unit": "s",
         "vs_baseline": round(vs_baseline, 4),
-        "extra": {
-            "e_tot": round(float(eb.e_tot), 8),
-            "converged": bool(done),
-            "n_iter": int(n_iter),
-            "nao": int(N),
-            "ngrid": int(G),
-            "xc_ms_per_call": round(xc_ms, 3),
-            "xc_gflops": round(gflops, 2),
-            "xc_impl": xc_impl,
-            "device": str(jax.devices()[0]),
-            "setup_s": round(setup.build_time, 2),
-            "total_s": round(time.time() - t_all, 2),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
     return 0
