@@ -9,8 +9,8 @@ ref dft.py:246-261) for the engine that actually ran the SCF, plus its
 achieved FLOP rate and MXU utilization (pallas_mfu) against the chip's
 f32 peak.
 
-Setup (integrals, grids, AO values) runs on the host CPU backend; the SCF
-hot loop runs on the default device (TPU when present).  Molecules above
+Setup (integrals, grids, AO values) and the SCF hot loop both run on the
+default device (TPU when present), as the CLI does.  Molecules above
 nao ~ 110 automatically use the density-fitted Fock build (the in-core
 (nao^4) ERI the reference requires cannot exist at DHA scale).
 vs_baseline is the speedup vs the reference's published number -- the
@@ -34,7 +34,6 @@ os.environ.setdefault(
 )
 
 import jax
-import numpy as np
 
 MOLECULE = os.environ.get("BENCH_MOLECULE", "Benzene")
 FUNCTIONAL = os.environ.get("BENCH_FUNCTIONAL", "GGA")
@@ -43,24 +42,26 @@ BASELINE_S = os.environ.get("BENCH_BASELINE_S")  # optional reference seconds
 
 # f32 matmul peak per chip generation (TFLOP/s); MFU denominators.
 # Overridable with BENCH_PEAK_TFLOPS for new device kinds.
-_PEAK_F32_TFLOPS = {
-    "TPU v2": 23.0,
-    "TPU v3": 61.0,
-    "TPU v4": 137.0,
-    "TPU v5": 197.0,
-    "TPU v5e": 98.0,
-    "TPU v5p": 229.0,
-    "TPU v6e": 458.0,
-}
+_PEAK_F32_TFLOPS = [
+    ("v5 lite", 98.5),   # v5e: 197 bf16 TFLOP/s, f32 = half
+    ("v5e", 98.5),
+    ("v5p", 229.0),
+    ("v6e", 459.0),
+    ("v6", 459.0),
+    ("v5", 229.0),
+    ("v4", 137.0),
+    ("v3", 61.0),
+    ("v2", 23.0),
+]
 
 
 def _peak_tflops() -> float:
     env = os.environ.get("BENCH_PEAK_TFLOPS")
     if env:
         return float(env)
-    kind = jax.devices()[0].device_kind
-    for key, val in _PEAK_F32_TFLOPS.items():
-        if key.lower() in kind.lower():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in _PEAK_F32_TFLOPS:  # most-specific first
+        if key in kind:
             return val
     return 137.0  # assume v4-class if unrecognized
 
@@ -77,63 +78,40 @@ def _xc_flops(g: int, n: int, needs_grad: bool) -> int:
 
 def main() -> int:
     t_all = time.time()
-    cpu = jax.devices("cpu")[0]
 
-    with jax.default_device(cpu):
-        from quantum_compute_dft_tpu.mol import from_xyz_file
-        from quantum_compute_dft_tpu import kohn_sham
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        path = os.path.join(here, "molecules", MOLECULE + ".xyz")
-        mol = from_xyz_file(path)
-        density_fit = None  # auto: in-core below nao ~ 110, DF above
-        if os.environ.get("BENCH_DF"):
-            density_fit = os.environ["BENCH_DF"] == "1"
-        setup = kohn_sham.prepare(mol, FUNCTIONAL, grid_level=GRID_LEVEL,
-                                  density_fit=density_fit)
-
-    from quantum_compute_dft_tpu.scf.driver import make_system, scf_host_staged
+    from quantum_compute_dft_tpu.mol import from_xyz_file
+    from quantum_compute_dft_tpu import kohn_sham
+    from quantum_compute_dft_tpu.scf.driver import scf_host_staged
     from quantum_compute_dft_tpu.engine.xc_engine import xc_step
     from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
-    # re-place the system on the default (accelerator) device; in DF mode
-    # (sys.eri is None -- every molecule above nao ~ 110) rebuild the DF
-    # J/K builders outside the host-device context so their tensors live
-    # on the accelerator
-    df_j = df_k = None
-    if setup.sys.eri is None:
-        from quantum_compute_dft_tpu.integrals.density_fitting import (
-            make_df_builders,
-        )
-
-        df_j, df_k, _ = make_df_builders(
-            setup.sys.df_j3c, setup.sys.df_v2c,
-            build_k=setup.functional.hyb_coeff != 0.0,
-        )
-    sys_dev = make_system(
-        np.asarray(setup.sys.hcore),
-        np.asarray(setup.sys.s),
-        None if setup.sys.eri is None else np.asarray(setup.sys.eri),
-        np.asarray(setup.sys.ao),
-        np.asarray(setup.sys.weights),
-        None if setup.sys.ao_grad is None else np.asarray(setup.sys.ao_grad),
-        setup.sys.e_nuc,
-        setup.sys.nocc,
-        df_coulomb=df_j,
-        df_exchange=df_k,
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "molecules", MOLECULE + ".xyz")
+    mol = from_xyz_file(path)
+    density_fit = None  # auto: in-core below nao ~ 110, DF above
+    if os.environ.get("BENCH_DF"):
+        density_fit = os.environ["BENCH_DF"] == "1"
+    # setup runs on the default backend, exactly as the CLI does -- the
+    # TPU-side integral/AO paths keep DHA-scale builds off the host CPU
+    setup = kohn_sham.prepare(
+        mol, FUNCTIONAL, grid_level=GRID_LEVEL, density_fit=density_fit,
+        df_aux=os.environ.get("BENCH_DF_AUX", "parity"),
     )
+    sys_dev = setup.sys
 
-    # warm-up (compile; staged dispatches keep the remote TPU compiler fast)
+    # warm-up (compile; staged dispatches keep the remote TPU compiler
+    # fast); the per-phase timer lives here because fenced phases cost a
+    # host<->device round-trip each -- the timed run below is fully async
     xc_impl = os.environ.get("BENCH_XC_IMPL", "mixed")
     if jax.default_backend() == "cpu":
         xc_impl = "f64"  # the Pallas kernel is TPU-only
-    res = scf_host_staged(sys_dev, setup.functional, xc_impl=xc_impl)
-
-    # timed SCF (the reference's "Total Time", ref dft.py:245)
     timer = PhaseTimer()
-    t0 = time.time()
     res = scf_host_staged(sys_dev, setup.functional, timer=timer,
                           xc_impl=xc_impl)
+
+    # timed SCF (the reference's "Total Time", ref dft.py:245)
+    t0 = time.time()
+    res = scf_host_staged(sys_dev, setup.functional, xc_impl=xc_impl)
     scf_s = time.time() - t0
     dm, eb, n_iter, done = res.dm, res.energy, res.n_iter, res.converged
 

@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="J/K via density-fitted ERIs (auto: on above nao ~ 110)",
     )
     p.add_argument(
+        "--df-aux",
+        choices=["parity", "tight", "fast"],
+        default="parity",
+        help="DF factorization: 'parity' = pivoted-Cholesky ERI vectors "
+        "(guaranteed elementwise error, ~1e-6 Eh SCF parity); 'tight'/"
+        "'fast' = even-tempered RI auxiliary sets (cheaper build, "
+        "~1e-5/2e-5 Eh)",
+    )
+    p.add_argument(
         "--checkpoint",
         default=None,
         help="Path to save the converged density (.npz); if the file exists, "
@@ -133,6 +142,7 @@ def main(argv=None) -> int:
         grid=grid,
         prune=not args.no_prune,
         density_fit={"auto": None, "on": True, "off": False}[args.density_fit],
+        df_aux=args.df_aux,
     )
     print(
         f"System info: NAO={setup.nao}  grid points={setup.ngrid}  "

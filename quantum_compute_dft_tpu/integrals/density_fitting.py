@@ -37,36 +37,56 @@ from quantum_compute_dft_tpu.integrals.two_electron import _pair_stage, _quartet
 from quantum_compute_dft_tpu.mol.molecule import Molecule
 
 
-def autoaux_exponents(mol: Molecule, beta: float = 2.0):
+# Named auxiliary-basis accuracy tiers (measured on H2O B3LYP DF-SCF vs
+# in-core, grid level 1):
+#   'tight': |dE| ~ 6e-8 Eh on H2O (g functions on p-block atoms, graded
+#            taper, lindep 1e-9) -- but error grows with system size
+#            (~1e-5 on benzene) and the metric turns ill-conditioned, so
+#            the guaranteed-accuracy path is integrals/cholesky.py, NOT a
+#            bigger even-tempered set.
+#   'fast':  |dE| ~ 2e-5 Eh at ~40% of the aux size / 3c-build cost.
+AUX_LEVELS = {
+    "tight": dict(beta=1.6, taper=2, l_extra=3),
+    "fast": dict(beta=2.0, taper=2, l_extra=2),
+}
+
+
+def autoaux_exponents(mol: Molecule, beta: float = 2.0, lo_f: float = 1.6,
+                      hi_f: float = 2.2, taper: int = 2, l_extra: int = 2):
     """Even-tempered auxiliary exponents per element: spans the products of
-    orbital-basis primitives.  -> {symbol: [(l, alpha), ...]}"""
+    orbital-basis primitives.  -> {symbol: [(l, alpha), ...]}
+
+    beta: geometric ratio; lo_f/hi_f: span [lo_f*amin, hi_f*amax] over the
+    orbital primitives; taper: tight exponents dropped per l beyond l_occ;
+    l_extra: angular momenta past l_occ (captures off-center bond-density
+    products that atom-centered lower-l sets fit poorly)."""
     out = {}
     for sym in set(mol.symbols):
         shells = element_shells(sym)
         l_occ = max(s[1] for s in shells)
         amin = min(min(s[2]) for s in shells)
         amax = max(max(s[2]) for s in shells)
-        lo, hi = 1.6 * amin, 2.2 * amax
+        lo, hi = lo_f * amin, hi_f * amax
         n = max(int(np.ceil(np.log(hi / lo) / np.log(beta))) + 1, 2)
         exps = lo * beta ** np.arange(n)
         funcs = []
-        # l up to 2*l_occ + 1 (capped at g): the extra l captures off-center
-        # bond-density products that atom-centered lower-l sets fit poorly
-        for l in range(min(2 * l_occ + 2, 5)):
-            # lightly taper the highest-l sets (tight extremes unneeded)
-            sel = exps if l <= l_occ else exps[: max(n - 2, 1)]
+        for l in range(min(l_occ + l_extra + 1, 5)):
+            # graded taper: each l beyond l_occ drops `taper` more of the
+            # tightest exponents (high-l fit functions matter most in the
+            # valence/bond region, not at the core cusp)
+            sel = exps if l <= l_occ else exps[: max(n - taper * (l - l_occ), 1)]
             funcs.extend((l, float(a)) for a in sel)
         out[sym] = funcs
     return out
 
 
-def build_aux_cart_table(mol: Molecule, beta: float = 2.0):
+def build_aux_cart_table(mol: Molecule, beta: float = 2.0, **aux_kw):
     """Cartesian aux-function table (one normalized primitive each):
     -> (powers (naux_cart,3), alphas (naux_cart,), coeffs, centers, c2s_aux)."""
     from quantum_compute_dft_tpu.basis.basis_set import SPH_FROM_CART
     from math import pi, sqrt
 
-    table = autoaux_exponents(mol, beta)
+    table = autoaux_exponents(mol, beta, **aux_kw)
     powers, alphas, coeffs, centers = [], [], [], []
     sph_blocks = []
     for ia, sym in enumerate(mol.symbols):
@@ -130,13 +150,18 @@ def _aux_pair_data(l_aux: int, powers, alphas, coeffs, centers):
 
 
 def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
-               block: int | None = None, beta: float = 2.0):
-    """-> (j3c (nao, nao, naux_sph), v2c (naux_sph, naux_sph))."""
+               block: int | None = None, aux_level: str = "tight", **aux_kw):
+    """-> (j3c (nao, nao, naux_sph), v2c (naux_sph, naux_sph)).
+
+    aux_level selects a named accuracy tier from AUX_LEVELS; individual
+    generator knobs (beta/taper/l_extra/lo_f/hi_f) can be overridden via
+    aux_kw."""
+    aux_kw = {**AUX_LEVELS[aux_level], **aux_kw}
     from quantum_compute_dft_tpu.integrals.two_electron import eri_packed  # noqa: F401
     from quantum_compute_dft_tpu.basis.basis_set import NPRIM as _NP
 
     lmax_ao = int(basis.cart_powers.max())
-    apow, aalpha, acoef, acent, ac2s = build_aux_cart_table(mol, beta)
+    apow, aalpha, acoef, acent, ac2s = build_aux_cart_table(mol, **aux_kw)
     l_aux = int(apow.sum(axis=1).max())
     if block is None:
         # TPU materializes the vmapped per-quartet intermediates in HBM;
@@ -256,12 +281,15 @@ def df_tensors(basis: BasisSet, mol: Molecule, screen_tol: float = 1e-12,
     return j3c.reshape(nao, nao, naux), v2c
 
 
-def metric_factors(v2c, lindep: float = 1e-10):
+def metric_factors(v2c, lindep: float = 1e-9):
     """Host-side (exact f64 eigh) factorization of the fitting metric:
     -> (V^+, V^(-1/2)) as numpy arrays, linear-dependence safe.
 
     Done on the HOST because TPU's f64 eigh is only f32-quality and naux
-    can be thousands."""
+    can be thousands.  lindep=1e-9 measured best on the 'parity' aux tier:
+    tighter (1e-10) keeps noise-dominated metric directions that stall
+    SCF convergence (oscillating ~1e-6 dE plateaus), looser (1e-8)
+    discards genuinely useful fit directions."""
     w, v = np.linalg.eigh(np.asarray(v2c))
     keep = w > lindep * w.max()
     inv = np.where(keep, 1.0 / np.where(keep, w, 1.0), 0.0)
@@ -280,7 +308,12 @@ def _auto_k_dtype(nao: int, naux: int) -> str:
 def make_df_builders(j3c, v2c, build_k: bool = True, k_dtype: str | None = None):
     """-> (coulomb(dm) -> J, exchange(dm) -> K, B) from DF tensors.
 
-    The fitting-metric pseudo-inverse is factorized ON THE HOST with
+    v2c=None means j3c already carries an IDENTITY fitting metric --
+    the Cholesky-vector case (integrals/cholesky.py), where j3c IS the
+    factor L of W ~= L L^T: J = sum_r L_r (L_r . D) and K uses B = L
+    directly, with no metric factorization at all.
+
+    Otherwise the fitting-metric pseudo-inverse is factorized ON THE HOST with
     numpy's exact eigh (TPU f64 eigh is f32-quality, and naux here can be
     thousands).  J never materializes the B = j3c V^(-1/2) tensor --
     only cheap vector solves:
@@ -294,9 +327,31 @@ def make_df_builders(j3c, v2c, build_k: bool = True, k_dtype: str | None = None)
     where the aux-fit error dominates f32's 1e-7 anyway).
     K = sum_Q (B C)(B C)^T with C the symmetric square root of D
     (eigenvalues ~{0, 2}: well-conditioned)."""
+    j3c_dev = jnp.asarray(j3c)
+
+    if v2c is None:  # Cholesky vectors: identity metric
+        def coulomb(dm):
+            return _cd_coulomb(j3c_dev, dm)
+
+        if not build_k:
+            return coulomb, None, None
+        nao, _, naux = j3c_dev.shape
+        if k_dtype is None:
+            k_dtype = _auto_k_dtype(nao, naux)
+        if k_dtype == "float64":
+            def exchange(dm):
+                return _df_exchange_f64(j3c_dev, dm)
+
+            return coulomb, exchange, j3c_dev
+        b32 = jnp.asarray(np.asarray(j3c, dtype=np.float32))
+
+        def exchange(dm):
+            return _df_exchange(b32, dm)
+
+        return coulomb, exchange, b32
+
     v_pinv_h, v_inv_sqrt_h = metric_factors(v2c)
     v_pinv = jnp.asarray(v_pinv_h)
-    j3c_dev = jnp.asarray(j3c)
 
     # NOTE: big tensors are passed as jit ARGUMENTS, never closed over --
     # closed-over arrays embed in the lowered MLIR, and a DHA-sized j3c
@@ -332,6 +387,13 @@ def make_df_builders(j3c, v2c, build_k: bool = True, k_dtype: str | None = None)
 def _df_coulomb(j3c, v_pinv, dm):
     rho = jnp.einsum("ijq,ij->q", j3c, dm)
     return jnp.einsum("ijq,q->ij", j3c, v_pinv @ rho)
+
+
+@jax.jit
+def _cd_coulomb(l_vec, dm):
+    """J from Cholesky vectors (identity metric)."""
+    rho = jnp.einsum("ijq,ij->q", l_vec, dm)
+    return jnp.einsum("ijq,q->ij", l_vec, rho)
 
 
 @jax.jit

@@ -44,13 +44,20 @@ def prepare(
     grid: Grid | None = None,
     prune: bool = True,
     density_fit: bool | None = None,
+    df_aux: str = "parity",
+    _df_override: tuple | None = None,
 ) -> KSSetup:
     """CPU/host data build + device upload (ref dft.py:118-176).
 
     density_fit=None auto-selects: in-core ERIs up to nao ~ 110 (the
     (nao^4) tensor stays under ~1.2 GB), density fitting beyond -- the
     scalable path for DHA/acetyl-CoA-sized systems the reference cannot
-    reach in-core."""
+    reach in-core.  df_aux picks the factorization:
+      'parity' (default): pivoted-Cholesky ERI vectors (tol 1e-7,
+        integrals/cholesky.py) -- guaranteed elementwise ERI error,
+        SCF energies within ~1e-6 Eh of in-core;
+      'fast': small even-tempered RI auxiliary set, ~2e-5 Eh error at a
+        lower one-time build cost."""
     t0 = time.time()
     fn = FUNCTIONALS[functional.upper()] if isinstance(functional, str) else functional
 
@@ -62,13 +69,24 @@ def prepare(
     df_j = df_k = None
     j3c = v2c = None
     eri = None
-    if density_fit:
+    if density_fit or _df_override is not None:
         from quantum_compute_dft_tpu.integrals.density_fitting import (
             df_tensors,
             make_df_builders,
         )
 
-        j3c, v2c = df_tensors(basis, mol)
+        if _df_override is not None:
+            # externally supplied factorization (e.g. a custom-tolerance
+            # Cholesky from tools/dryrun_northstar.py)
+            j3c, v2c = _df_override
+        elif df_aux == "parity":
+            from quantum_compute_dft_tpu.integrals.cholesky import (
+                cholesky_eri_vectors,
+            )
+
+            j3c, v2c = cholesky_eri_vectors(basis), None
+        else:
+            j3c, v2c = df_tensors(basis, mol, aux_level=df_aux)
         df_j, df_k, _ = make_df_builders(j3c, v2c, build_k=fn.hyb_coeff != 0.0)
     else:
         eri = eri_full(basis)

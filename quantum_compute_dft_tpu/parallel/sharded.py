@@ -101,6 +101,10 @@ def sharded_df_builders(mesh: Mesh, j3c, v2c, build_k: bool = True,
         J      = psum( (munu|P) c_P )
         K      = psum( sum_{P local} (B C)(B C)^T ),  B = j3c V^(-1/2)
 
+    v2c=None is the Cholesky-vector case (integrals/cholesky.py): the
+    metric is the identity, so J = psum((L_blk . D) L_blk) with NO
+    gather at all and B = L directly.
+
     -> build_jk(dm) -> (J, K or None); all outputs replicated (nao, nao).
     """
     import numpy as np
@@ -114,48 +118,79 @@ def sharded_df_builders(mesh: Mesh, j3c, v2c, build_k: bool = True,
     n_dev = mesh.devices.size
     j3c = np.asarray(j3c)
     nao, _, naux = j3c.shape
-    v_pinv_h, v_inv_sqrt_h = metric_factors(v2c)
 
     j3c_p = pad_to_multiple(j3c, n_dev, 2)
     naux_pad = j3c_p.shape[2]
-    vp = np.zeros((naux_pad, naux_pad))
-    vp[:naux, :naux] = v_pinv_h
     aux_sharding = NamedSharding(mesh, P(None, None, GRID_AXIS))
     j3c_s = jax.device_put(j3c_p, aux_sharding)
-    vp_s = jax.device_put(vp, NamedSharding(mesh, P(GRID_AXIS, None)))
 
-    def j_local(j3c_blk, vp_rows, dm):
-        rho_loc = jnp.einsum("ijq,ij->q", j3c_blk, dm)
-        rho = jax.lax.all_gather(rho_loc, GRID_AXIS, tiled=True)
-        c_loc = vp_rows @ rho
-        return jax.lax.psum(jnp.einsum("ijq,q->ij", j3c_blk, c_loc), GRID_AXIS)
+    if v2c is None:
+        # identity metric: each shard's Cholesky columns contribute
+        # independently -- one psum, zero gathers
+        def j_local_cd(j3c_blk, dm):
+            rho_loc = jnp.einsum("ijq,ij->q", j3c_blk, dm)
+            return jax.lax.psum(
+                jnp.einsum("ijq,q->ij", j3c_blk, rho_loc), GRID_AXIS
+            )
 
-    jfn = jax.jit(shard_map(
-        j_local, mesh=mesh,
-        in_specs=(P(None, None, GRID_AXIS), P(GRID_AXIS, None), P()),
-        out_specs=P(), check_vma=False,
-    ))
+        jfn_cd = jax.jit(shard_map(
+            j_local_cd, mesh=mesh,
+            in_specs=(P(None, None, GRID_AXIS), P()),
+            out_specs=P(), check_vma=False,
+        ))
+
+        def jfn(j3c_arg, _unused, dm):
+            return jfn_cd(j3c_arg, dm)
+
+        vp_s = None
+    else:
+        v_pinv_h, v_inv_sqrt_h = metric_factors(v2c)
+        vp = np.zeros((naux_pad, naux_pad))
+        vp[:naux, :naux] = v_pinv_h
+        vp_s = jax.device_put(vp, NamedSharding(mesh, P(GRID_AXIS, None)))
+
+        def j_local(j3c_blk, vp_rows, dm):
+            rho_loc = jnp.einsum("ijq,ij->q", j3c_blk, dm)
+            rho = jax.lax.all_gather(rho_loc, GRID_AXIS, tiled=True)
+            c_loc = vp_rows @ rho
+            return jax.lax.psum(
+                jnp.einsum("ijq,q->ij", j3c_blk, c_loc), GRID_AXIS
+            )
+
+        jfn = jax.jit(shard_map(
+            j_local, mesh=mesh,
+            in_specs=(P(None, None, GRID_AXIS), P(GRID_AXIS, None), P()),
+            out_specs=P(), check_vma=False,
+        ))
 
     if not build_k:
         return lambda dm: (jfn(j3c_s, vp_s, dm), None)
 
     if k_dtype is None:
         k_dtype = _auto_k_dtype(nao, naux)
-    # B = j3c V^(-1/2), aux-sharded.  f64 below ~1e12 build flops (parity
-    # bar), f32 HIGHEST-precision MXU beyond (DHA scale; see make_df_builders)
+    # B = j3c V^(-1/2) (or the Cholesky L itself), aux-sharded.  f64 below
+    # ~1e12 build flops (parity bar), f32 HIGHEST-precision MXU beyond
+    # (DHA scale; see make_df_builders)
     if k_dtype == "float64":
-        b = jnp.einsum("ijp,pq->ijq", jnp.asarray(j3c_p),
-                       jnp.asarray(pad_to_multiple(
-                           pad_to_multiple(v_inv_sqrt_h, n_dev, 1), n_dev, 0)))
+        if v2c is None:
+            b = jnp.asarray(j3c_p)
+        else:
+            b = jnp.einsum("ijp,pq->ijq", jnp.asarray(j3c_p),
+                           jnp.asarray(pad_to_multiple(
+                               pad_to_multiple(v_inv_sqrt_h, n_dev, 1), n_dev, 0)))
         prec = None
     else:
-        b = jnp.einsum(
-            "ijp,pq->ijq",
-            jnp.asarray(j3c_p, jnp.float32),
-            jnp.asarray(pad_to_multiple(
-                pad_to_multiple(v_inv_sqrt_h, n_dev, 1), n_dev, 0), jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if v2c is None:
+            b = jnp.asarray(j3c_p, jnp.float32)
+        else:
+            b = jnp.einsum(
+                "ijp,pq->ijq",
+                jnp.asarray(j3c_p, jnp.float32),
+                jnp.asarray(pad_to_multiple(
+                    pad_to_multiple(v_inv_sqrt_h, n_dev, 1), n_dev, 0),
+                    jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         prec = jax.lax.Precision.HIGHEST
     b_s = jax.device_put(b, aux_sharding)
 

@@ -260,6 +260,9 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     ~20x faster per call)."""
     from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
+    fence = timer is not None  # only fence phases when someone is timing:
+    # a blocked dispatch costs a full host<->TPU round-trip (~27 ms over
+    # the tunnel), so the hot loop stays fully async otherwise
     timer = timer or PhaseTimer()
     c_hf = functional.hyb_coeff
     with timer.phase("coulomb"):
@@ -273,7 +276,8 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         else:
             e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights,
                                 sys.ao_grad)
-        jax.block_until_ready(vxc)
+        if fence:
+            jax.block_until_ready(vxc)
     k = _build_k(sys, dm) if c_hf != 0.0 else jnp.zeros_like(j)
     with timer.phase("fock+solve"):
         f = _fock(sys.hcore, j, vxc, k, c_hf)
@@ -299,6 +303,8 @@ def scf_host_staged(
     """xc_impl: 'f64', 'pallas', or 'mixed' (drive early cycles with the
     ~20x-faster f32 Pallas XC, switch to the f64 engine once |dE| drops
     below mixed_switch_tol -- the mixed-precision SCF production trick)."""
+    import numpy as np
+
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
     e_old = 0.0
@@ -307,20 +313,27 @@ def scf_host_staged(
         dm_new, diis, eb, dnorm_dev = scf_iteration_staged(
             sys, functional, dm, diis, timer=timer, xc_impl=impl
         )
-        de = float(eb.e_tot) - e_old
-        dnorm = float(dnorm_dev)
+        # ONE device->host materialization per cycle: each scalar fetch
+        # costs a full round-trip over the TPU tunnel (~33 ms measured),
+        # so e_tot/dnorm (and the callback's decomposition) ride together
+        stat = np.asarray(jnp.stack(
+            [eb.e_tot, dnorm_dev, eb.e_one, eb.e_coul, eb.e_xc, eb.e_ex_hf]
+        ))
+        e_tot, dnorm = float(stat[0]), float(stat[1])
+        eb = EnergyBreakdown(*(float(stat[i]) for i in (0, 2, 3, 4, 5)))
+        de = e_tot - e_old
         if callback:
             callback(cycle, eb, de, dnorm)
         converged = abs(de) < conv_tol_e and dnorm < conv_tol_d
         if converged and not (xc_impl == "mixed" and impl == "pallas"):
-            return SCFResult(True, cycle + 1, dm_new, eb, float(eb.e_tot))
+            return SCFResult(True, cycle + 1, dm_new, eb, e_tot)
         if xc_impl == "mixed" and impl == "pallas" and cycle > 0 and (
             converged or abs(de) < mixed_switch_tol
         ):
             impl = "f64"  # refine to parity precision from here on
         dm = dm_new
-        e_old = float(eb.e_tot)
-    return SCFResult(False, max_cycle, dm, eb, float(eb.e_tot))
+        e_old = e_tot
+    return SCFResult(False, max_cycle, dm, eb, e_tot)
 
 
 @dataclasses.dataclass
@@ -341,20 +354,28 @@ def scf_host(
     conv_tol_d: float = CONV_TOL_D,
     dm0: jnp.ndarray | None = None,
 ) -> SCFResult:
+    import numpy as np
+
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
     e_old = 0.0
     for cycle in range(max_cycle):
         dm_new, diis, eb = scf_iteration(sys, functional, dm, diis)
-        de = float(eb.e_tot) - e_old
-        dnorm = float(jnp.linalg.norm(dm_new - dm))
+        # one materialization per cycle (see scf_host_staged)
+        stat = np.asarray(jnp.stack(
+            [eb.e_tot, jnp.linalg.norm(dm_new - dm),
+             eb.e_one, eb.e_coul, eb.e_xc, eb.e_ex_hf]
+        ))
+        e_tot, dnorm = float(stat[0]), float(stat[1])
+        eb = EnergyBreakdown(*(float(stat[i]) for i in (0, 2, 3, 4, 5)))
+        de = e_tot - e_old
         if callback:
             callback(cycle, eb, de, dnorm)
         if abs(de) < conv_tol_e and dnorm < conv_tol_d:
-            return SCFResult(True, cycle + 1, dm_new, eb, float(eb.e_tot))
+            return SCFResult(True, cycle + 1, dm_new, eb, e_tot)
         dm = dm_new
-        e_old = float(eb.e_tot)
-    return SCFResult(False, max_cycle, dm, eb, float(eb.e_tot))
+        e_old = e_tot
+    return SCFResult(False, max_cycle, dm, eb, e_tot)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "max_cycle"))

@@ -26,7 +26,7 @@ H2O = [
 def h2o_df():
     mol = from_atoms(H2O)
     bas = build_basis(mol)
-    j3c, v2c = df_tensors(bas, mol)
+    j3c, v2c = df_tensors(bas, mol, aux_level="fast")
     return mol, bas, j3c, v2c
 
 
@@ -53,25 +53,78 @@ def test_v2c_positive_definite_and_symmetric(h2o_df):
     assert np.linalg.eigvalsh(v2c).min() > -1e-10
 
 
-def test_df_jk_accuracy(h2o_df):
+def test_ri_jk_accuracy(h2o_df):
+    # 'fast' RI tier: J/K energy-weighted fit errors stay within its
+    # documented ~2e-5 Eh band
     mol, bas, j3c, v2c = h2o_df
     setup = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=False)
     dm = initial_guess(setup.sys)
     jf, kf, _ = make_df_builders(j3c, v2c)
     j_err = abs(0.5 * float(jnp.sum(dm * (jf(dm) - coulomb_full(setup.sys.eri, dm)))))
     k_err = abs(0.25 * float(jnp.sum(dm * (kf(dm) - exchange_full(setup.sys.eri, dm)))))
-    assert j_err < 2e-4, j_err
-    assert k_err < 2e-4, k_err
+    assert j_err < 1e-4, j_err
+    assert k_err < 1e-4, k_err
+
+
+def test_cholesky_jk_accuracy():
+    # Cholesky vectors at tol=1e-7: J/K match the in-core build to the
+    # elementwise guarantee
+    from quantum_compute_dft_tpu.integrals.cholesky import cholesky_eri_vectors
+
+    mol = from_atoms(H2O)
+    bas = build_basis(mol)
+    setup = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=False)
+    dm = initial_guess(setup.sys)
+    l_vec = cholesky_eri_vectors(bas, tol=1e-7)
+    jf, kf, _ = make_df_builders(l_vec, None)
+    j_err = float(jnp.abs(jf(dm) - coulomb_full(setup.sys.eri, dm)).max())
+    k_err = float(jnp.abs(kf(dm) - exchange_full(setup.sys.eri, dm)).max())
+    assert j_err < 1e-7, j_err
+    assert k_err < 1e-7, k_err
+
+
+def test_cholesky_truncation_bound():
+    # at a loose tol the factorization truncates below full rank and the
+    # elementwise residual honors the pivoted-Cholesky bound
+    import numpy as np
+
+    from quantum_compute_dft_tpu.integrals.cholesky import cholesky_eri_vectors
+    from quantum_compute_dft_tpu.integrals.two_electron import eri_full
+
+    mol = from_atoms(H2O)
+    bas = build_basis(mol)
+    tol = 1e-4
+    l_vec = cholesky_eri_vectors(bas, tol=tol)
+    npair = bas.nao * (bas.nao + 1) // 2
+    assert l_vec.shape[2] < npair  # genuinely truncated
+    err = np.abs(eri_full(bas) - np.einsum("ijr,klr->ijkl", l_vec, l_vec)).max()
+    assert err < tol
 
 
 def test_df_scf_matches_incore():
+    # the VERDICT r1 "1e-6 Eh DF parity" acceptance test (was 5e-4 with the
+    # even-tempered RI aux; the default DF path is now pivoted-Cholesky,
+    # measured at 2.8e-14 here)
     mol = from_atoms(H2O)
     s_ref = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=False)
     s_df = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=True)
+    assert s_df.sys.df_v2c is None  # Cholesky (identity-metric) path
     r_ref = scf_host(s_ref.sys, s_ref.functional)
     r_df = scf_host(s_df.sys, s_df.functional)
     assert r_ref.converged and r_df.converged
-    assert abs(r_ref.e_tot - r_df.e_tot) < 5e-4
+    assert abs(r_ref.e_tot - r_df.e_tot) < 1e-6
+
+
+def test_df_fast_tier_within_tolerance():
+    # the 'fast' tier trades ~2e-5 Eh for a much smaller aux set
+    mol = from_atoms(H2O)
+    s_ref = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=False)
+    s_df = kohn_sham.prepare(mol, "B3LYP", grid_level=1, density_fit=True,
+                             df_aux="fast")
+    r_ref = scf_host(s_ref.sys, s_ref.functional)
+    r_df = scf_host(s_df.sys, s_df.functional)
+    assert r_df.converged
+    assert abs(r_ref.e_tot - r_df.e_tot) < 1e-4
 
 
 def test_numeric_solid_harmonics_match_hand_table():

@@ -155,6 +155,32 @@ def test_sharded_df_scf_step_matches_single_device():
     assert abs(e_sh_sc - float(e_ref_sc.e_tot)) < 1e-10
 
 
+def test_sharded_ri_jk_match_single_device():
+    """The even-tempered RI branch (explicit fitting metric, all_gather +
+    V^+ solve) stays covered now that density_fit=True defaults to the
+    Cholesky identity-metric path."""
+    from quantum_compute_dft_tpu.integrals.density_fitting import (
+        df_tensors,
+        make_df_builders,
+    )
+    from quantum_compute_dft_tpu.parallel.sharded import sharded_df_builders
+
+    mol = from_atoms(H2O)
+    s_in = kohn_sham.prepare(mol, "B3LYP", grid_level=0, density_fit=False)
+    from quantum_compute_dft_tpu.basis import build_basis
+
+    j3c, v2c = df_tensors(build_basis(mol), mol, aux_level="fast")
+    dm = initial_guess(s_in.sys)
+    jf, kf, _ = make_df_builders(j3c, v2c)
+    j_ref, k_ref = jf(dm), kf(dm)
+    build_jk = sharded_df_builders(grid_mesh(), j3c, v2c)
+    j_sh, k_sh = build_jk(dm)
+    # psum/gather reassociation on J entries of magnitude ~19 -> ~2e-11
+    # relative roundoff
+    assert float(jnp.abs(j_sh - j_ref).max()) < 2e-9
+    assert float(jnp.abs(k_sh - k_ref).max()) < 2e-9
+
+
 def test_sharded_scf_step_purification_forced(monkeypatch):
     """The sharded step shares the single-chip TPU numerics recovery:
     with DFT_FORCE_SIGN_DENSITY=1 (purification-forced CPU run) the
