@@ -91,12 +91,36 @@ def main() -> int:
     density_fit = None  # auto: in-core below nao ~ 110, DF above
     if os.environ.get("BENCH_DF"):
         density_fit = os.environ["BENCH_DF"] == "1"
-    # setup runs on the default backend, exactly as the CLI does -- the
-    # TPU-side integral/AO paths keep DHA-scale builds off the host CPU
-    setup = kohn_sham.prepare(
-        mol, FUNCTIONAL, grid_level=GRID_LEVEL, density_fit=density_fit,
-        df_aux=os.environ.get("BENCH_DF_AUX", "parity"),
-    )
+    # Setup device: the in-core quartet path is many small dispatches --
+    # cheaper on the host CPU than through the TPU tunnel (measured 58 s
+    # vs 351 s for benzene).  DF/Cholesky builds batch large fixed-shape
+    # panels and their downstream SCF tensors are big, so large (DF-mode)
+    # molecules set up on the accelerator like the CLI does.
+    from quantum_compute_dft_tpu.basis import build_basis
+
+    nao = build_basis(mol).nao
+    df_mode = density_fit if density_fit is not None else nao > 110
+    import contextlib
+
+    ctx = (contextlib.nullcontext() if df_mode or jax.default_backend() == "cpu"
+           else jax.default_device(jax.devices("cpu")[0]))
+    with ctx:
+        setup = kohn_sham.prepare(
+            mol, FUNCTIONAL, grid_level=GRID_LEVEL, density_fit=density_fit,
+            df_aux=os.environ.get("BENCH_DF_AUX", "parity"),
+        )
+    if not df_mode and jax.default_backend() != "cpu":
+        # re-place the CPU-built system on the accelerator
+        import numpy as np
+        from quantum_compute_dft_tpu.scf.driver import make_system
+
+        setup.sys = make_system(
+            np.asarray(setup.sys.hcore), np.asarray(setup.sys.s),
+            np.asarray(setup.sys.eri), np.asarray(setup.sys.ao),
+            np.asarray(setup.sys.weights),
+            None if setup.sys.ao_grad is None else np.asarray(setup.sys.ao_grad),
+            setup.sys.e_nuc, setup.sys.nocc,
+        )
     sys_dev = setup.sys
 
     # warm-up (compile; staged dispatches keep the remote TPU compiler
