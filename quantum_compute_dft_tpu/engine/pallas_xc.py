@@ -144,6 +144,10 @@ def xc_step_pallas(
     engine.xc_engine.xc_step."""
     g, n = ao.shape
     npad = _round_up(n, 128)
+    # per-tile VMEM scales with tile*npad (5 streamed planes + temporaries,
+    # double-buffered); shrink the grid tile as the AO dim grows so the
+    # working set stays inside VMEM at DHA-and-up sizes
+    tile = max(128, tile * 128 // npad)
     gpad = _round_up(g, tile)
 
     f32 = jnp.float32
@@ -187,6 +191,12 @@ def xc_step_pallas(
             out_shape=(
                 jax.ShapeDtypeStruct((8, 128), f32),
                 jax.ShapeDtypeStruct((npad, npad), f32),
+            ),
+            # the default 16 MB scoped-vmem budget rejects npad >= 256
+            # (DHA-sized nao); v5e has 128 MB of VMEM -- let the kernel
+            # use a third of it
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024,
             ),
         )(*args)
 

@@ -35,6 +35,20 @@ CONV_TOL_E = 1e-8    # ref dft.py:243
 CONV_TOL_D = 1e-6
 MAX_CYCLE = 200      # ref dft.py:199
 
+# Oscillation guard: when ||dD|| stops decreasing while still large, the
+# SCF is charge-sloshing between two states faster than DIIS can damp
+# (observed: Acetaldehyde/LDA flips between -144.6 and -176.3 Eh forever).
+# A half-step in the density breaks the 2-cycle; the fixed point is
+# unchanged.  Only active while ||dD|| > DAMP_MIN_DNORM, so converged
+# trajectories never see it.
+DAMP_MIN_DNORM = 1.0
+DAMP_RATIO = 0.9
+
+
+def _damp(dm_new, dm_old, dnorm, dnorm_prev):
+    slosh = (dnorm > DAMP_MIN_DNORM) & (dnorm >= DAMP_RATIO * dnorm_prev)
+    return jnp.where(slosh, 0.5 * (dm_new + dm_old), dm_new)
+
 
 def _tpu_backend() -> bool:
     import os
@@ -308,6 +322,7 @@ def scf_host_staged(
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
     e_old = 0.0
+    dnorm_prev = float("inf")
     impl = "pallas" if xc_impl in ("pallas", "mixed") else "f64"
     for cycle in range(max_cycle):
         dm_new, diis, eb, dnorm_dev = scf_iteration_staged(
@@ -331,6 +346,9 @@ def scf_host_staged(
             converged or abs(de) < mixed_switch_tol
         ):
             impl = "f64"  # refine to parity precision from here on
+        if dnorm > DAMP_MIN_DNORM and dnorm >= DAMP_RATIO * dnorm_prev:
+            dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above
+        dnorm_prev = dnorm
         dm = dm_new
         e_old = e_tot
     return SCFResult(False, max_cycle, dm, eb, e_tot)
@@ -359,6 +377,7 @@ def scf_host(
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
     e_old = 0.0
+    dnorm_prev = float("inf")
     for cycle in range(max_cycle):
         dm_new, diis, eb = scf_iteration(sys, functional, dm, diis)
         # one materialization per cycle (see scf_host_staged)
@@ -373,6 +392,9 @@ def scf_host(
             callback(cycle, eb, de, dnorm)
         if abs(de) < conv_tol_e and dnorm < conv_tol_d:
             return SCFResult(True, cycle + 1, dm_new, eb, e_tot)
+        if dnorm > DAMP_MIN_DNORM and dnorm >= DAMP_RATIO * dnorm_prev:
+            dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above
+        dnorm_prev = dnorm
         dm = dm_new
         e_old = e_tot
     return SCFResult(False, max_cycle, dm, eb, e_tot)
@@ -395,14 +417,15 @@ def scf_jit(
         return (~done) & (cycle < max_cycle)
 
     def body(carry):
-        dm, diis, eb_prev, e_old, _, cycle, _ = carry
+        dm, diis, eb_prev, e_old, dnorm_prev, cycle, _ = carry
         dm_new, diis, eb = scf_iteration(sys, functional, dm, diis)
         de = eb.e_tot - e_old
         dnorm = jnp.linalg.norm(dm_new - dm)
         done = (jnp.abs(de) < CONV_TOL_E) & (dnorm < CONV_TOL_D)
+        dm_new = _damp(dm_new, dm, dnorm, dnorm_prev)
         return (dm_new, diis, eb, eb.e_tot, dnorm, cycle + 1, done)
 
-    carry = (dm0, diis0, eb0, zero, jnp.asarray(1.0), jnp.array(0, jnp.int32),
-             jnp.array(False))
+    carry = (dm0, diis0, eb0, zero, jnp.asarray(jnp.inf),
+             jnp.array(0, jnp.int32), jnp.array(False))
     dm, diis, eb, _, dnorm, n_iter, done = jax.lax.while_loop(cond, body, carry)
     return dm, eb, n_iter, done

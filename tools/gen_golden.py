@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # molecules whose every element has canonical published STO-3G tables
 MOLECULES = [
-    "H2", "HeH", "H2O", "NH3", "CH4", "HF", "CO2", "C2H4", "N2", "O2",
+    "H2", "H2O", "NH3", "CH4", "HF", "CO2", "C2H4", "N2", "O2",
     "HCl", "H2S", "NaCl", "NaOH", "Methanol", "Formaldehyde",
     "Acetaldehyde", "acetic-acid",
 ]
