@@ -25,7 +25,7 @@ O(npair * rank) quartets instead of O(npair^2).
 The resulting L unpacks to a (nao, nao, rank) tensor that drops into the
 existing DF J/K builders with an IDENTITY fitting metric:
 
-    J = sum_r L[:,:,r] (L[:,:,r] . D),    K = sum_r (L C)(L C)^T.
+    J = sum_r L[:,:,r] (L[:,:,r] . D),    K = sum_r L_r D L_r^T.
 """
 
 from __future__ import annotations
@@ -95,23 +95,45 @@ def cholesky_eri_vectors(
             lambda p1, P1, e1, c1: quartet(p1, P1, e1, c1, p1, P1, e1, c1)
         )(pa, Pa, eta, cwa)
 
-    # pad the pair arrays once so every dispatch has ONE shape (each
-    # distinct shape would cost a fresh remote TPU compile)
-    rpad = (-npair) % block
-    p_s = jnp.pad(p_all, ((0, rpad), (0, 0))).at[npair:].set(1.0)
-    P_s = jnp.pad(P_all, ((0, rpad), (0, 0), (0, 0)))
-    et_s = jnp.pad(et_all, ((0, rpad), (0, 0), (0, 0)))
-    cw_s = jnp.pad(cw, ((0, rpad), (0, 0)))
-    npad = npair + rpad
-    nblk = npad // block
+    def padded(arrs, m, fill_first=True):
+        n_ = arrs[0].shape[0]
+        r = (-n_) % m
+        out = [jnp.pad(a, [(0, r)] + [(0, 0)] * (a.ndim - 1)) for a in arrs]
+        if fill_first and r:
+            out[0] = out[0].at[n_:].set(1.0)  # positive exponent-sum slots
+        return out
 
-    # residual diagonal d_ab = (ab|ab)
-    d = np.concatenate([
+    # residual diagonal d_ab = (ab|ab) over ALL pairs (cheap: one quartet
+    # per pair)
+    p_d, P_d, et_d, cw_d = padded([p_all, P_all, et_all, cw], block)
+    d_full = np.concatenate([
         np.asarray(run_diag(*(a[s * block:(s + 1) * block]
-                              for a in (p_s, P_s, et_s, cw_s))))
-        for s in range(nblk)
+                              for a in (p_d, P_d, et_d, cw_d))))
+        for s in range(p_d.shape[0] // block)
     ])[:npair]
-    d = np.maximum(d, 0.0)
+    d_full = np.maximum(d_full, 0.0)
+
+    # Schwarz screening: |(ab|cd)| <= sqrt(d_ab d_cd) <= sqrt(d_ab d_max),
+    # so pairs with d_ab <= tol^2 / d_max contribute < tol to every ERI
+    # element and are dropped from the factorization outright (their L
+    # rows are exactly zero).  On spatially extended systems (the
+    # 117-atom north star) this removes the majority of the O(natom^2)
+    # distant pairs -- the decisive cost lever for the panel builds.
+    dmax = d_full.max() if npair else 0.0
+    keep = d_full > (tol * tol) / max(dmax, 1e-300)
+    sel = np.nonzero(keep)[0]
+    iu, ju = iu[sel], ju[sel]
+    d = d_full[sel]
+    npair = len(sel)
+    sel_j = jnp.asarray(sel)
+    p_s, P_s, et_s, cw_s = padded(
+        [p_all[sel_j], P_all[sel_j], et_all[sel_j], cw[sel_j]], block
+    )
+    npad = p_s.shape[0]
+    nblk = npad // block
+    if verbose:
+        print(f"  cholesky: {npair}/{len(d_full)} pairs survive Schwarz "
+              f"screening at tol={tol:g}")
 
     if max_rank is None:
         max_rank = min(npair, 16 * basis.nao + 64)

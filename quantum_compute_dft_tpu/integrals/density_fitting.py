@@ -17,7 +17,7 @@ Implementation notes:
     into (munu|P) exactly.
   * V^(-1/2) is built with eigh + Newton-Schulz polish (TPU-safe), so
     B = (munu|P) V^(-1/2) gives J = B (B . D) and
-    K = sum_Q (B C_occ)(B C_occ)^T as pure GEMMs.
+    K = sum_Q B_Q D B_Q^T as pure GEMMs.
 """
 
 from __future__ import annotations
@@ -325,8 +325,8 @@ def make_df_builders(j3c, v2c, build_k: bool = True, k_dtype: str | None = None)
     flops (everything up to ~benzene scale -- keeps DF-SCF at the 1e-6 Eh
     parity bar), f32 with HIGHEST-precision MXU matmuls beyond (DHA scale,
     where the aux-fit error dominates f32's 1e-7 anyway).
-    K = sum_Q (B C)(B C)^T with C the symmetric square root of D
-    (eigenvalues ~{0, 2}: well-conditioned)."""
+    K = sum_Q B_Q D B_Q^T -- D contracted directly between the factors
+    (eigh-free; see _df_exchange_f64)."""
     j3c_dev = jnp.asarray(j3c)
 
     if v2c is None:  # Cholesky vectors: identity metric
@@ -403,10 +403,13 @@ def _df_b64(j3c, v_inv_sqrt):
 
 @jax.jit
 def _df_exchange_f64(b, dm):
-    wd, vd = jnp.linalg.eigh(dm)
-    c = vd * jnp.sqrt(jnp.maximum(wd, 0.0))
-    t = jnp.einsum("ijq,jk->ikq", b, c)
-    return jnp.einsum("ikq,jkq->ij", t, t)
+    # K_ij = sum_q (B_q D B_q^T)_ij -- D contracted directly between the
+    # factors.  Exact for ANY symmetric D (occupied-factor forms need
+    # C C^T = D from an eigh, and TPU's f64 eigh returns NaN outright on
+    # the degenerate {0, 2} projector spectrum of a converging density,
+    # observed at nao=152); costs nao/nocc ~ 1.5x more FLOPs.
+    t = jnp.einsum("ikq,kl->ilq", b, dm)
+    return jnp.einsum("ilq,jlq->ij", t, b)
 
 
 @jax.jit
@@ -419,10 +422,10 @@ def _df_b32(j3c, x32):
 
 @jax.jit
 def _df_exchange(b32, dm):
-    wd, vd = jnp.linalg.eigh(dm)
-    c = (vd * jnp.sqrt(jnp.maximum(wd, 0.0))).astype(jnp.float32)
-    t = jnp.einsum("ijq,jk->ikq", b32, c,
+    # same D-contraction form as _df_exchange_f64 (no eigh; see there)
+    dm32 = dm.astype(jnp.float32)
+    t = jnp.einsum("ikq,kl->ilq", b32, dm32,
                    precision=jax.lax.Precision.HIGHEST)
-    k = jnp.einsum("ikq,jkq->ij", t, t,
+    k = jnp.einsum("ilq,jlq->ij", t, b32,
                    precision=jax.lax.Precision.HIGHEST)
     return k.astype(dm.dtype)

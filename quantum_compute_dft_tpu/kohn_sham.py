@@ -66,7 +66,7 @@ def prepare(
     hcore = t + v
     if density_fit is None:
         density_fit = basis.nao > 110
-    df_j = df_k = None
+    df_j = df_k = df_k_hi = None
     j3c = v2c = None
     eri = None
     if density_fit or _df_override is not None:
@@ -88,6 +88,20 @@ def prepare(
         else:
             j3c, v2c = df_tensors(basis, mol, aux_level=df_aux)
         df_j, df_k, _ = make_df_builders(j3c, v2c, build_k=fn.hyb_coeff != 0.0)
+        # high-precision K for the f64 parity tail of the mixed SCF: when
+        # the fast exchange auto-selected f32 (DHA scale), keep an f64
+        # variant too -- in Cholesky mode it costs nothing to build
+        # (B = L, no metric transform)
+        df_k_hi = df_k
+        if df_k is not None and v2c is None:
+            from quantum_compute_dft_tpu.integrals.density_fitting import (
+                _auto_k_dtype,
+            )
+
+            if _auto_k_dtype(j3c.shape[0], j3c.shape[2]) != "float64":
+                _, df_k_hi, _ = make_df_builders(
+                    j3c, v2c, build_k=True, k_dtype="float64"
+                )
     else:
         eri = eri_full(basis)
     if grid is None:
@@ -107,6 +121,7 @@ def prepare(
     sys = make_system(
         hcore, s, eri, ao, grid.weights, ao_grad, mol.energy_nuc(), mol.nocc,
         df_coulomb=df_j, df_exchange=df_k, df_j3c=j3c, df_v2c=v2c,
+        df_exchange_hi=df_k_hi if density_fit or _df_override else None,
     )
     return KSSetup(
         sys=sys,

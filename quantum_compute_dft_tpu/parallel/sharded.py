@@ -194,10 +194,13 @@ def sharded_df_builders(mesh: Mesh, j3c, v2c, build_k: bool = True,
         prec = jax.lax.Precision.HIGHEST
     b_s = jax.device_put(b, aux_sharding)
 
-    def k_local(b_blk, cocc):
-        t = jnp.einsum("ijq,jk->ikq", b_blk, cocc.astype(b_blk.dtype),
+    def k_local(b_blk, dm):
+        # K = sum_q B_q D B_q^T: D contracted directly between the factors
+        # (eigh-free -- TPU's f64 eigh NaNs on the degenerate projector
+        # spectrum of a converging density; see _df_exchange_f64)
+        t = jnp.einsum("ikq,kl->ilq", b_blk, dm.astype(b_blk.dtype),
                        precision=prec)
-        k = jnp.einsum("ikq,jkq->ij", t, t, precision=prec)
+        k = jnp.einsum("ilq,jlq->ij", t, b_blk, precision=prec)
         return jax.lax.psum(k, GRID_AXIS)
 
     kfn = jax.jit(shard_map(
@@ -206,16 +209,9 @@ def sharded_df_builders(mesh: Mesh, j3c, v2c, build_k: bool = True,
         out_specs=P(), check_vma=False,
     ))
 
-    @jax.jit
-    def occ_factor(dm):
-        # symmetric square root of D (eigenvalues ~{0,2}: well-conditioned);
-        # replicated host-side eigh semantics, identical on every shard
-        wd, vd = jnp.linalg.eigh(dm)
-        return vd * jnp.sqrt(jnp.maximum(wd, 0.0))
-
     def build_jk(dm):
         j = jfn(j3c_s, vp_s, dm)
-        k = kfn(b_s, occ_factor(dm)).astype(dm.dtype)
+        k = kfn(b_s, dm).astype(dm.dtype)
         return j, k
 
     return build_jk

@@ -93,6 +93,9 @@ class SCFSystem:
     # density-fitting mode: jitted builders replacing the in-core eri paths
     df_coulomb: Callable | None = None
     df_exchange: Callable | None = None
+    # f64 exchange for the parity tail (equals df_exchange unless the fast
+    # variant auto-selected f32 at large scale)
+    df_exchange_hi: Callable | None = None
     # raw DF tensors (host numpy), kept for the sharded multi-chip path
     # which re-shards them over the aux axis (parallel/sharded.py)
     df_j3c: object | None = None
@@ -115,7 +118,7 @@ class EnergyBreakdown(NamedTuple):
 
 def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
                 df_coulomb=None, df_exchange=None,
-                df_j3c=None, df_v2c=None) -> SCFSystem:
+                df_j3c=None, df_v2c=None, df_exchange_hi=None) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
@@ -129,6 +132,7 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
         nocc=int(nocc),
         df_coulomb=df_coulomb,
         df_exchange=df_exchange,
+        df_exchange_hi=df_exchange_hi or df_exchange,
         df_j3c=df_j3c,
         df_v2c=df_v2c,
     )
@@ -177,8 +181,11 @@ def _build_j(sys: SCFSystem, dm):
     return sys.df_coulomb(dm) if sys.eri is None else coulomb_full(sys.eri, dm)
 
 
-def _build_k(sys: SCFSystem, dm):
-    return sys.df_exchange(dm) if sys.eri is None else exchange_full(sys.eri, dm)
+def _build_k(sys: SCFSystem, dm, hi: bool = False):
+    if sys.eri is not None:
+        return exchange_full(sys.eri, dm)
+    fn = sys.df_exchange_hi if (hi and sys.df_exchange_hi) else sys.df_exchange
+    return fn(dm)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional"))
@@ -188,7 +195,7 @@ def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis: DIISState):
     e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
     c_hf = functional.hyb_coeff
     if c_hf != 0.0:
-        k = _build_k(sys, dm)
+        k = _build_k(sys, dm, hi=True)
         f = sys.hcore + j + vxc - 0.5 * c_hf * k
     else:
         k = None
@@ -219,7 +226,7 @@ def energy_of_dm(sys: SCFSystem, functional: Functional, dm) -> EnergyBreakdown:
     e_one = jnp.sum(dm * sys.hcore)
     e_coul = 0.5 * jnp.sum(dm * j)
     if c_hf != 0.0:
-        k = _build_k(sys, dm)
+        k = _build_k(sys, dm, hi=True)
         e_ex = -0.25 * c_hf * jnp.sum(dm * k)
     else:
         e_ex = jnp.asarray(0.0)
@@ -292,7 +299,8 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                                 sys.ao_grad)
         if fence:
             jax.block_until_ready(vxc)
-    k = _build_k(sys, dm) if c_hf != 0.0 else jnp.zeros_like(j)
+    k = (_build_k(sys, dm, hi=xc_impl != "pallas") if c_hf != 0.0
+         else jnp.zeros_like(j))
     with timer.phase("fock+solve"):
         f = _fock(sys.hcore, j, vxc, k, c_hf)
         diis, f = diis_update(diis, f, dm, sys.s, sys.x)
