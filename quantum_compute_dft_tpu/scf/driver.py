@@ -269,7 +269,8 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 
 
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
-                         diis: DIISState, timer=None, xc_impl: str = "f64"):
+                         diis: DIISState, timer=None, xc_impl: str = "f64",
+                         delta_base=None):
     """One SCF cycle as separate jitted micro-dispatches.
 
     The axon remote compiler is superlinear in graph size (seconds for
@@ -277,8 +278,9 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     one program), so every phase compiles independently; dispatch
     overhead is microseconds against per-phase run times of ms.
 
-    xc_impl: 'f64' (parity path) or 'pallas' (fused f32 TPU kernel,
-    ~20x faster per call)."""
+    xc_impl: 'f64' (parity path), 'pallas' (fused f32 TPU kernel, ~20x
+    faster per call), or 'delta' (f32 increments on an f64 anchor --
+    pass delta_base from make_delta_base)."""
     from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
     fence = timer is not None  # only fence phases when someone is timing:
@@ -288,19 +290,41 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     c_hf = functional.hyb_coeff
     with timer.phase("coulomb"):
         j = _build_j(sys, dm)
-    with timer.phase("xc" if xc_impl == "f64" else "xc_pallas", sync=None):
+    with timer.phase({"f64": "xc", "pallas": "xc_pallas",
+                      "delta": "xc_delta"}[xc_impl], sync=None):
         if xc_impl == "pallas":
             from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
 
             e_xc, vxc = xc_step_pallas(functional, dm, sys.ao, sys.weights,
                                        sys.ao_grad)
+        elif xc_impl == "delta":
+            # f64-anchored increment: Vxc(D) ~= Vxc64(D0) + [Vxc32(D) -
+            # Vxc32(D0)].  The f32 rounding of the two nearby evaluations
+            # correlates and cancels in the difference, so the Fock error
+            # is ~1e-8 while each tail iteration costs one Pallas call
+            # instead of the ~20x f64 engine (at DHA scale: 66 ms vs
+            # 1.5 s).  As D -> D* the increment freezes (deterministic
+            # f32), so |dE| and ||dD|| converge cleanly.
+            from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
+
+            dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi = delta_base
+            exc32, vxc32 = xc_step_pallas(functional, dm, sys.ao,
+                                          sys.weights, sys.ao_grad)
+            e_xc = exc0_64 + (exc32 - exc0_32)
+            vxc = vxc0_64 + (vxc32 - vxc0_32)
         else:
             e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights,
                                 sys.ao_grad)
         if fence:
             jax.block_until_ready(vxc)
-    k = (_build_k(sys, dm, hi=xc_impl != "pallas") if c_hf != 0.0
-         else jnp.zeros_like(j))
+    if c_hf == 0.0:
+        k = jnp.zeros_like(j)
+    elif xc_impl == "delta" and sys.eri is None:
+        # K is LINEAR in D: K(D) = K64(D0) + K32(D - D0) exactly (up to
+        # the f32 rounding of the small difference term)
+        k = k0_hi + _build_k(sys, dm - delta_base[0], hi=False)
+    else:
+        k = _build_k(sys, dm, hi=xc_impl != "pallas")
     with timer.phase("fock+solve"):
         f = _fock(sys.hcore, j, vxc, k, c_hf)
         diis, f = diis_update(diis, f, dm, sys.s, sys.x)
@@ -308,6 +332,21 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         eb = _energies(dm_new, sys.hcore, j, k, e_xc,
                        jnp.asarray(sys.e_nuc), c_hf)
     return dm_new, diis, eb, dnorm
+
+
+def make_delta_base(sys: SCFSystem, functional: Functional, dm):
+    """f64 anchors for the 'delta' tail: one f64 XC + one f64 K at the
+    anchor density, plus the matching Pallas-f32 XC evaluation whose
+    rounding cancels against later Pallas calls."""
+    from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
+
+    exc0_64, vxc0_64 = xc_step(functional, dm, sys.ao, sys.weights,
+                               sys.ao_grad)
+    exc0_32, vxc0_32 = xc_step_pallas(functional, dm, sys.ao, sys.weights,
+                                      sys.ao_grad)
+    k0_hi = (_build_k(sys, dm, hi=True)
+             if functional.hyb_coeff != 0.0 and sys.eri is None else None)
+    return (dm, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi)
 
 
 def scf_host_staged(
@@ -321,10 +360,17 @@ def scf_host_staged(
     timer=None,
     xc_impl: str = "f64",
     mixed_switch_tol: float = 1e-5,
+    delta_refresh: int = 10,
 ) -> SCFResult:
-    """xc_impl: 'f64', 'pallas', or 'mixed' (drive early cycles with the
-    ~20x-faster f32 Pallas XC, switch to the f64 engine once |dE| drops
-    below mixed_switch_tol -- the mixed-precision SCF production trick)."""
+    """xc_impl: 'f64', 'pallas', or 'mixed'.
+
+    'mixed' drives early cycles with the ~20x-faster f32 Pallas XC and,
+    once |dE| < mixed_switch_tol, switches to DELTA refinement: every
+    quantity anchors to one f64 evaluation at the switch density and
+    subsequent cycles apply f32 increments (see scf_iteration_staged's
+    'delta' branch) -- parity-grade Fock matrices at Pallas-iteration
+    cost.  The anchor refreshes every `delta_refresh` cycles, and the
+    final reported energies are re-evaluated fully in f64."""
     import numpy as np
 
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
@@ -332,10 +378,19 @@ def scf_host_staged(
     e_old = 0.0
     dnorm_prev = float("inf")
     impl = "pallas" if xc_impl in ("pallas", "mixed") else "f64"
+    delta_base = None
+    cycles_since_anchor = 0
     for cycle in range(max_cycle):
+        if impl == "delta" and (
+            delta_base is None or cycles_since_anchor >= delta_refresh
+        ):
+            delta_base = make_delta_base(sys, functional, dm)
+            cycles_since_anchor = 0
         dm_new, diis, eb, dnorm_dev = scf_iteration_staged(
-            sys, functional, dm, diis, timer=timer, xc_impl=impl
+            sys, functional, dm, diis, timer=timer, xc_impl=impl,
+            delta_base=delta_base,
         )
+        cycles_since_anchor += 1
         # ONE device->host materialization per cycle: each scalar fetch
         # costs a full round-trip over the TPU tunnel (~33 ms measured),
         # so e_tot/dnorm (and the callback's decomposition) ride together
@@ -349,11 +404,17 @@ def scf_host_staged(
             callback(cycle, eb, de, dnorm)
         converged = abs(de) < conv_tol_e and dnorm < conv_tol_d
         if converged and not (xc_impl == "mixed" and impl == "pallas"):
+            if impl == "delta":
+                # report parity-grade energies: one full f64 evaluation
+                eb_dev = energy_of_dm(sys, functional, dm_new)
+                stat = np.asarray(jnp.stack(list(eb_dev)))
+                eb = EnergyBreakdown(*(float(v) for v in stat))
+                e_tot = eb.e_tot
             return SCFResult(True, cycle + 1, dm_new, eb, e_tot)
         if xc_impl == "mixed" and impl == "pallas" and cycle > 0 and (
             converged or abs(de) < mixed_switch_tol
         ):
-            impl = "f64"  # refine to parity precision from here on
+            impl = "delta"  # f64-anchored f32 increments from here on
         if dnorm > DAMP_MIN_DNORM and dnorm >= DAMP_RATIO * dnorm_prev:
             dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above
         dnorm_prev = dnorm
