@@ -106,11 +106,12 @@ def cholesky_eri_vectors(
     # residual diagonal d_ab = (ab|ab) over ALL pairs (cheap: one quartet
     # per pair)
     p_d, P_d, et_d, cw_d = padded([p_all, P_all, et_all, cw], block)
-    d_full = np.concatenate([
-        np.asarray(run_diag(*(a[s * block:(s + 1) * block]
-                              for a in (p_d, P_d, et_d, cw_d))))
+    d_parts = [
+        run_diag(*(a[s * block:(s + 1) * block]
+                   for a in (p_d, P_d, et_d, cw_d)))
         for s in range(p_d.shape[0] // block)
-    ])[:npair]
+    ]  # enqueue all, then materialize (see run_panel)
+    d_full = np.concatenate([np.asarray(o) for o in d_parts])[:npair]
     d_full = np.maximum(d_full, 0.0)
 
     # Schwarz screening: |(ab|cd)| <= sqrt(d_ab d_cd) <= sqrt(d_ab d_max),
@@ -144,17 +145,21 @@ def cholesky_eri_vectors(
         One fixed-shape `run_block` dispatch per row block -- NOT one
         fused jit over all row blocks: at north-star scale that graph
         would inline ~280 quartet blocks and the remote TPU compiler is
-        superlinear in graph size."""
-        return np.concatenate([
-            np.asarray(run_block(
+        superlinear in graph size.  All row blocks are ENQUEUED first and
+        materialized after: each np.asarray costs a full host<->device
+        round-trip (~33 ms over the TPU tunnel), so serializing them
+        added ~40 s/panel of pure latency at DHA scale."""
+        outs = [
+            run_block(
                 p_s[s * block:(s + 1) * block],
                 P_s[s * block:(s + 1) * block],
                 et_s[s * block:(s + 1) * block],
                 cw_s[s * block:(s + 1) * block],
                 pb, Pb, eb, cb,
-            ))
+            )
             for s in range(nblk)
-        ], axis=0)
+        ]
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
     l_cols: list[np.ndarray] = []
     it = 0
