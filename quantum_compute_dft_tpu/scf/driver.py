@@ -360,7 +360,7 @@ def scf_host_staged(
     timer=None,
     xc_impl: str = "f64",
     mixed_switch_tol: float = 1e-5,
-    delta_refresh: int = 10,
+    delta_refresh: int = 50,
 ) -> SCFResult:
     """xc_impl: 'f64', 'pallas', or 'mixed'.
 
