@@ -5,17 +5,28 @@ The tiled analog of the reference's fused CUDA pipeline
 hierarchy: grid tiles of AO values (and gradients) stream HBM -> VMEM;
 per tile the kernel computes
 
-    phi_D = AO_tile @ D           (MXU)
-    rho   = row-dot(phi_D, AO)    (VPU)
+    phi_D = D @ AO^T              (MXU)
+    rho   = column-dot            (skinny MXU matmul)
     eps, vrho[, vsigma]           (VPU, elementwise functional)
-    B     = w * (vrho * AO [+ 2 vsigma grad-rho . grad-AO])
-    V    += AO_tile^T @ B         (MXU, accumulated in VMEM across tiles)
+    B^T   = w * (vrho * AO^T [+ 2 vsigma grad-rho . grad-AO^T])
+    V    += AO^T (NT) B^T         (MXU dot_general, accumulated in VMEM)
     E    += sum(w * rho * eps)
 
 so the (ngrid x nao) B matrix of the reference (dft_solver.cu:577,613,655)
 never exists in HBM -- only one tile lives in VMEM at a time.  This is
 the "grid-dimension blocking" sequence-parallel analog of SURVEY.md
 section 5.7.
+
+Layout note (measured on v5e): everything is stored TRANSPOSED --
+(nao_pad, tile) -- so per-grid-point quantities (rho, sigma, vrho, ...)
+are (1, tile) lane-vectors.  In the naive (tile, nao_pad) layout the
+lane-axis reduction leaves per-point vectors lane-REPLICATED: every one
+of the ~250 elementwise ops in the autodiff functional then costs
+tile/8 VPU rows instead of tile/128, and the functional dominated the
+kernel (~70% of 9.5 ms/call on benzene).  Reductions over the AO axis
+become skinny (1, nao) @ (nao, tile) MXU matmuls, and the V_xc
+contraction contracts the shared grid axis of two (nao_pad, tile)
+operands directly (an NT dot_general) with no transposes anywhere.
 
 Compute is f32 (TPU Pallas has no f64); the f64 jnp engine
 (engine/xc_engine.py) remains the parity path.  Functional derivatives
@@ -41,30 +52,50 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _vmap_nd(fn, ndim: int):
+    for _ in range(ndim):
+        fn = jax.vmap(fn)
+    return fn
+
+
 def _functional_eval(functional: Functional, rho, sigma):
-    """Elementwise (e, vrho, vsigma) inside the kernel, f32, guarded."""
+    """Elementwise (e, vrho, vsigma) inside the kernel, f32, guarded.
+    Shape-agnostic (vmaps over every axis of the input)."""
     eps32 = 1e-10  # f32-appropriate density floor (f64 path uses 1e-12)
     rho_s = jnp.maximum(rho, eps32)
     live = rho > eps32
     zero = jnp.zeros_like(rho)
     if functional.needs_grad:
         sig_s = jnp.maximum(sigma, 1e-18)
-        e, (vr, vs) = jax.vmap(jax.value_and_grad(functional.f, argnums=(0, 1)))(
-            rho_s, sig_s
-        )
+        e, (vr, vs) = _vmap_nd(
+            jax.value_and_grad(functional.f, argnums=(0, 1)), rho.ndim
+        )(rho_s, sig_s)
         return (
             jnp.where(live, e, zero),
             jnp.where(live, vr, zero),
             jnp.where(live, vs, zero),
         )
-    e, vr = jax.vmap(jax.value_and_grad(functional.f))(rho_s)
+    e, vr = _vmap_nd(jax.value_and_grad(functional.f), rho.ndim)(rho_s)
     return jnp.where(live, e, zero), jnp.where(live, vr, zero), None
 
 
-def _make_kernel(functional: Functional):
+_NT = (((1,), (1,)), ((), ()))  # dot_general: contract last dim of both
+
+
+def _make_kernel(functional: Functional, npad: int):
+    f32 = jnp.float32
+    H = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32, precision=H)
+
+    def nt(a, b):
+        return jax.lax.dot_general(a, b, _NT, preferred_element_type=f32,
+                                   precision=H)
+
     if functional.needs_grad:
 
-        def kernel(dm_ref, ao_ref, w_ref, gx_ref, gy_ref, gz_ref,
+        def kernel(dm_ref, ao_ref, w_ref, gx_ref, gy_ref, gz_ref, ones_ref,
                    e_ref, v_ref):
             i = pl.program_id(0)
 
@@ -73,36 +104,28 @@ def _make_kernel(functional: Functional):
                 v_ref[:, :] = jnp.zeros_like(v_ref)
                 e_ref[:, :] = jnp.zeros_like(e_ref)
 
-            ao = ao_ref[:, :]
-            w = w_ref[:, 0]
-            phi_d = jnp.dot(ao, dm_ref[:, :], preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            rho = jnp.sum(phi_d * ao, axis=1)
+            aot = ao_ref[:, :]          # (npad, tile)
+            wt = w_ref[:, :]            # (1, tile)
+            ones_row = ones_ref[:, :]   # (1, npad)
+            phi_d = mm(dm_ref[:, :], aot)            # (npad, tile) MXU
+            rho = mm(ones_row, phi_d * aot)          # (1, tile)
             gx, gy, gz = gx_ref[:, :], gy_ref[:, :], gz_ref[:, :]
-            grx = 2.0 * jnp.sum(gx * phi_d, axis=1)
-            gry = 2.0 * jnp.sum(gy * phi_d, axis=1)
-            grz = 2.0 * jnp.sum(gz * phi_d, axis=1)
+            grx = 2.0 * mm(ones_row, gx * phi_d)
+            gry = 2.0 * mm(ones_row, gy * phi_d)
+            grz = 2.0 * mm(ones_row, gz * phi_d)
             sigma = grx * grx + gry * gry + grz * grz
             e, vrho, vsigma = _functional_eval(functional, rho, sigma)
-            # Mosaic lowers only lane-axis (last-dim) reductions; reduce
-            # the per-point energies with an MXU matmul against ones and
-            # accumulate the (1, 128) row (every lane holds the tile sum).
-            wem = jnp.broadcast_to((w * e)[:, None], (ao.shape[0], 128))
-            e_ref[:, :] += jnp.dot(
-                jnp.ones((8, ao.shape[0]), jnp.float32), wem,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            e_ref[:, :] += jnp.broadcast_to(
+                mm(wt * e, jnp.ones((aot.shape[1], 128), f32)), (8, 128)
             )
-            gdot = grx[:, None] * gx + gry[:, None] * gy + grz[:, None] * gz
-            b = w[:, None] * (vrho[:, None] * ao + 2.0 * vsigma[:, None] * gdot)
-            v_ref[:, :] += jnp.dot(
-                ao.T, b, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # (1, tile) rows sublane-broadcast against (npad, tile) planes
+            gdot = grx * gx + gry * gy + grz * gz
+            bt = wt * (vrho * aot + 2.0 * vsigma * gdot)
+            v_ref[:, :] += nt(aot, bt)               # (npad, npad) MXU
 
     else:
 
-        def kernel(dm_ref, ao_ref, w_ref, e_ref, v_ref):
+        def kernel(dm_ref, ao_ref, w_ref, ones_ref, e_ref, v_ref):
             i = pl.program_id(0)
 
             @pl.when(i == 0)
@@ -110,25 +133,106 @@ def _make_kernel(functional: Functional):
                 v_ref[:, :] = jnp.zeros_like(v_ref)
                 e_ref[:, :] = jnp.zeros_like(e_ref)
 
-            ao = ao_ref[:, :]
-            w = w_ref[:, 0]
-            phi_d = jnp.dot(ao, dm_ref[:, :], preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            rho = jnp.sum(phi_d * ao, axis=1)
+            aot = ao_ref[:, :]
+            wt = w_ref[:, :]
+            ones_row = ones_ref[:, :]
+            phi_d = mm(dm_ref[:, :], aot)
+            rho = mm(ones_row, phi_d * aot)
             e, vrho, _ = _functional_eval(functional, rho, None)
-            wem = jnp.broadcast_to((w * e)[:, None], (ao.shape[0], 128))
-            e_ref[:, :] += jnp.dot(
-                jnp.ones((8, ao.shape[0]), jnp.float32), wem,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            e_ref[:, :] += jnp.broadcast_to(
+                mm(wt * e, jnp.ones((aot.shape[1], 128), f32)), (8, 128)
             )
-            b = (w * vrho)[:, None] * ao
-            v_ref[:, :] += jnp.dot(
-                ao.T, b, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            bt = (wt * vrho) * aot
+            v_ref[:, :] += nt(aot, bt)
 
     return kernel
+
+
+def _tile_for(npad: int, tile: int) -> int:
+    # per-tile VMEM scales with tile*npad (streamed planes + temporaries,
+    # double-buffered); shrink the grid tile as the AO dim grows so the
+    # working set stays inside the (raised) VMEM budget at DHA-and-up sizes
+    return max(256, tile * 128 // npad)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "n_grad"))
+def pack_pallas_inputs(ao, weights, ao_grad=None, tile: int = 2048,
+                       n_grad: bool = False):
+    """One-time f32 transpose/pad of the grid-plane inputs -> (aot, wt,
+    grads_t).  The SCF hot loop reuses these across iterations instead of
+    re-casting ~GBs of f64 AO planes per XC call (at DHA scale the cast +
+    transpose cost ~10 ms/call of pure HBM traffic)."""
+    g, n = ao.shape
+    npad = _round_up(n, 128)
+    t = _tile_for(npad, tile)
+    gpad = _round_up(g, t)
+    f32 = jnp.float32
+    aot = jnp.zeros((npad, gpad), f32).at[:n, :g].set(ao.astype(f32).T)
+    wt = jnp.zeros((1, gpad), f32).at[0, :g].set(weights.astype(f32))
+    grads = None
+    if n_grad:
+        grads = tuple(
+            jnp.zeros((npad, gpad), f32).at[:n, :g].set(ao_grad[k].astype(f32).T)
+            for k in range(3)
+        )
+    return aot, wt, grads
+
+
+@functools.partial(jax.jit, static_argnames=("functional", "tile", "n"))
+def xc_step_pallas_packed(
+    functional: Functional,
+    dm: jnp.ndarray,
+    aot: jnp.ndarray,
+    wt: jnp.ndarray,
+    grads_t,
+    n: int,
+    tile: int = 2048,
+):
+    """XC build from pre-packed (pack_pallas_inputs) transposed planes."""
+    npad, gpad = aot.shape
+    t = _tile_for(npad, tile)
+    f32 = jnp.float32
+    dm_p = jnp.zeros((npad, npad), f32).at[:n, :n].set(dm.astype(f32))
+    ones_row = jnp.zeros((1, npad), f32).at[0, :n].set(1.0)
+    kernel = _make_kernel(functional, npad)
+    grid_in = [
+        pl.BlockSpec((npad, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((npad, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [dm_p, aot, wt]
+    if functional.needs_grad:
+        for k in range(3):
+            args.append(grads_t[k])
+            grid_in.append(
+                pl.BlockSpec((npad, t), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+            )
+    args.append(ones_row)
+    grid_in.append(
+        pl.BlockSpec((1, npad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    with jax.enable_x64(False):
+        e_out, v_out = pl.pallas_call(
+            kernel,
+            grid=(gpad // t,),
+            in_specs=grid_in,
+            out_specs=(
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad, npad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((8, 128), f32),
+                jax.ShapeDtypeStruct((npad, npad), f32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024,
+            ),
+        )(*args)
+    v = v_out[:n, :n].astype(dm.dtype)
+    return e_out[0, 0].astype(dm.dtype), 0.5 * (v + v.T)
 
 
 @functools.partial(jax.jit, static_argnames=("functional", "tile"))
@@ -138,42 +242,45 @@ def xc_step_pallas(
     ao: jnp.ndarray,
     weights: jnp.ndarray,
     ao_grad: Optional[jnp.ndarray] = None,
-    tile: int = 512,
+    tile: int = 2048,
 ):
     """Fused-tile XC build, f32: -> (E_xc, V_xc) with the same contract as
     engine.xc_engine.xc_step."""
     g, n = ao.shape
     npad = _round_up(n, 128)
-    # per-tile VMEM scales with tile*npad (5 streamed planes + temporaries,
-    # double-buffered); shrink the grid tile as the AO dim grows so the
-    # working set stays inside VMEM at DHA-and-up sizes
-    tile = max(128, tile * 128 // npad)
+    tile = _tile_for(npad, tile)
     gpad = _round_up(g, tile)
 
     f32 = jnp.float32
-    ao_p = jnp.zeros((gpad, npad), f32).at[:g, :n].set(ao.astype(f32))
-    w_p = jnp.zeros((gpad, 1), f32).at[:g, 0].set(weights.astype(f32))
+    # transposed layout: (npad, gpad) planes, grid axis on lanes
+    ao_p = jnp.zeros((npad, gpad), f32).at[:n, :g].set(ao.astype(f32).T)
+    w_p = jnp.zeros((1, gpad), f32).at[0, :g].set(weights.astype(f32))
     dm_p = jnp.zeros((npad, npad), f32).at[:n, :n].set(dm.astype(f32))
+    ones_row = jnp.zeros((1, npad), f32).at[0, :n].set(1.0)
 
     n_tiles = gpad // tile
-    kernel = _make_kernel(functional)
+    kernel = _make_kernel(functional, npad)
 
     grid_in = [
         pl.BlockSpec((npad, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, npad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((npad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     args = [dm_p, ao_p, w_p]
     if functional.needs_grad:
         for k in range(3):
-            gk = jnp.zeros((gpad, npad), f32).at[:g, :n].set(
-                ao_grad[k].astype(f32)
+            gk = jnp.zeros((npad, gpad), f32).at[:n, :g].set(
+                ao_grad[k].astype(f32).T
             )
             args.append(gk)
             grid_in.append(
-                pl.BlockSpec((tile, npad), lambda i: (i, 0),
+                pl.BlockSpec((npad, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
             )
+    args.append(ones_row)
+    grid_in.append(
+        pl.BlockSpec((1, npad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
 
     # Mosaic rejects i64 block-index maps; trace the kernel with x64 off
     # (all tensor data is explicitly f32 already).

@@ -58,12 +58,25 @@ def prepare(
         SCF energies within ~1e-6 Eh of in-core;
       'fast': small even-tempered RI auxiliary set, ~2e-5 Eh error at a
         lower one-time build cost."""
+    import os
+
     t0 = time.time()
+    verbose = os.environ.get("DFT_SETUP_VERBOSE") == "1"
+
+    def _tick(label, t_prev=[None]):
+        if verbose:
+            now = time.time()
+            if t_prev[0] is not None:
+                print(f"  setup/{label}: {now - t_prev[0]:.1f}s", flush=True)
+            t_prev[0] = now
+
     fn = FUNCTIONALS[functional.upper()] if isinstance(functional, str) else functional
 
+    _tick(None)
     basis = build_basis(mol)
     s, t, v = one_electron(basis, mol.coords, mol.charges)
     hcore = t + v
+    _tick("one_electron")
     if density_fit is None:
         density_fit = basis.nao > 110
     df_j = df_k = df_k_hi = None
@@ -87,6 +100,7 @@ def prepare(
             j3c, v2c = cholesky_eri_vectors(basis), None
         else:
             j3c, v2c = df_tensors(basis, mol, aux_level=df_aux)
+        _tick("df_factorization")
         df_j, df_k, _ = make_df_builders(j3c, v2c, build_k=fn.hyb_coeff != 0.0)
         # high-precision K for the f64 parity tail of the mixed SCF: when
         # the fast exchange auto-selected f32 (DHA scale), keep an f64
@@ -104,8 +118,10 @@ def prepare(
                 )
     else:
         eri = eri_full(basis)
+        _tick("eri_full")
     if grid is None:
         grid = build_grid(mol, level=grid_level, prune=prune)
+    _tick("grid")
 
     # keep AO arrays device-resident off-CPU: the host<->TPU relay here
     # moves ~10 MB/s and a large-molecule AO+grad set is gigabytes
@@ -117,12 +133,14 @@ def prepare(
     else:
         ao = eval_ao(basis, grid.coords, deriv=0, as_numpy=as_numpy)
         ao_grad = None
+    _tick("ao_eval")
 
     sys = make_system(
         hcore, s, eri, ao, grid.weights, ao_grad, mol.energy_nuc(), mol.nocc,
         df_coulomb=df_j, df_exchange=df_k, df_j3c=j3c, df_v2c=v2c,
         df_exchange_hi=df_k_hi if density_fit or _df_override else None,
     )
+    _tick("make_system")
     return KSSetup(
         sys=sys,
         functional=fn,

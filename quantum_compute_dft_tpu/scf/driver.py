@@ -177,6 +177,31 @@ def _density(x, f, nocc):
     return jnp.where(gap > 1e-5, dm_sign, dm_eigh)
 
 
+import weakref
+
+_PALLAS_PACK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _pallas_xc(sys: SCFSystem, functional: Functional, dm):
+    """Pallas XC via per-system cached packed planes: the one-time f32
+    transpose of the (multi-GB at DHA scale) AO tensors happens once per
+    SCFSystem, not once per call."""
+    from quantum_compute_dft_tpu.engine.pallas_xc import (
+        pack_pallas_inputs,
+        xc_step_pallas_packed,
+    )
+
+    per_sys = _PALLAS_PACK_CACHE.setdefault(sys, {})
+    ent = per_sys.get(functional.needs_grad)
+    if ent is None:
+        ent = pack_pallas_inputs(sys.ao, sys.weights, sys.ao_grad,
+                                 n_grad=functional.needs_grad)
+        per_sys[functional.needs_grad] = ent
+    aot, wt, grads = ent
+    return xc_step_pallas_packed(functional, dm, aot, wt, grads,
+                                 sys.ao.shape[1])
+
+
 def _build_j(sys: SCFSystem, dm):
     return sys.df_coulomb(dm) if sys.eri is None else coulomb_full(sys.eri, dm)
 
@@ -293,10 +318,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     with timer.phase({"f64": "xc", "pallas": "xc_pallas",
                       "delta": "xc_delta"}[xc_impl], sync=None):
         if xc_impl == "pallas":
-            from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
-
-            e_xc, vxc = xc_step_pallas(functional, dm, sys.ao, sys.weights,
-                                       sys.ao_grad)
+            e_xc, vxc = _pallas_xc(sys, functional, dm)
         elif xc_impl == "delta":
             # f64-anchored increment: Vxc(D) ~= Vxc64(D0) + [Vxc32(D) -
             # Vxc32(D0)].  The f32 rounding of the two nearby evaluations
@@ -305,11 +327,8 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
             # instead of the ~20x f64 engine (at DHA scale: 66 ms vs
             # 1.5 s).  As D -> D* the increment freezes (deterministic
             # f32), so |dE| and ||dD|| converge cleanly.
-            from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
-
             dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi = delta_base
-            exc32, vxc32 = xc_step_pallas(functional, dm, sys.ao,
-                                          sys.weights, sys.ao_grad)
+            exc32, vxc32 = _pallas_xc(sys, functional, dm)
             e_xc = exc0_64 + (exc32 - exc0_32)
             vxc = vxc0_64 + (vxc32 - vxc0_32)
         else:
@@ -338,12 +357,9 @@ def make_delta_base(sys: SCFSystem, functional: Functional, dm):
     """f64 anchors for the 'delta' tail: one f64 XC + one f64 K at the
     anchor density, plus the matching Pallas-f32 XC evaluation whose
     rounding cancels against later Pallas calls."""
-    from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
-
     exc0_64, vxc0_64 = xc_step(functional, dm, sys.ao, sys.weights,
                                sys.ao_grad)
-    exc0_32, vxc0_32 = xc_step_pallas(functional, dm, sys.ao, sys.weights,
-                                      sys.ao_grad)
+    exc0_32, vxc0_32 = _pallas_xc(sys, functional, dm)
     k0_hi = (_build_k(sys, dm, hi=True)
              if functional.hyb_coeff != 0.0 and sys.eri is None else None)
     return (dm, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi)
