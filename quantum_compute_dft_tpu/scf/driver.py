@@ -278,6 +278,45 @@ def _fock(hcore, j, vxc, k, c_hf: float):
     return hcore + j + vxc - 0.5 * c_hf * k if c_hf != 0.0 else hcore + j + vxc
 
 
+@functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi"))
+def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
+                exc_in, vxc_in, base, k_hi: bool):
+    """Everything after the XC build, fused into ONE dispatch: J, K,
+    Fock assembly, DIIS, eigensolve/purification, energies, and the
+    6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
+    over the TPU tunnel, and the unfused cycle made ~8 of them -- at DHA
+    scale that was ~2/3 of the wall-clock per cycle.
+
+    base=None: exc_in/vxc_in are the XC results, K built at `k_hi`
+    precision.  base=(dm0, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi):
+    delta mode -- exc_in/vxc_in are the raw Pallas f32 results and every
+    term anchors to the f64 evaluation at dm0 (see scf_iteration_staged).
+    """
+    c_hf = functional.hyb_coeff
+    j = _build_j(sys, dm)
+    if base is None:
+        e_xc, vxc = exc_in, vxc_in
+        k = (_build_k(sys, dm, hi=k_hi) if c_hf != 0.0
+             else jnp.zeros_like(j))
+    else:
+        dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi = base
+        e_xc = exc0_64 + (exc_in - exc0_32)
+        vxc = vxc0_64 + (vxc_in - vxc0_32)
+        if c_hf != 0.0:
+            k = k0_hi + _build_k(sys, dm - dm0_b, hi=False)
+        else:
+            k = jnp.zeros_like(j)
+    f = _fock(sys.hcore, j, vxc, k, c_hf)
+    diis, f = diis_update(diis, f, dm, sys.s, sys.x)
+    dm_new = _density(sys.x, f, sys.nocc)
+    dnorm = jnp.linalg.norm(dm_new - dm)
+    eb = _energies(dm_new, sys.hcore, j, k, e_xc,
+                   jnp.asarray(sys.e_nuc), c_hf)
+    stat = jnp.stack([eb.e_tot, dnorm, eb.e_one, eb.e_coul, eb.e_xc,
+                      eb.e_ex_hf])
+    return dm_new, diis, stat
+
+
 @functools.partial(jax.jit, static_argnames=("nocc",))
 def _solve_density(x, f, dm, nocc: int):
     dm_new = _density(x, f, nocc)
@@ -296,61 +335,41 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
                          delta_base=None):
-    """One SCF cycle as separate jitted micro-dispatches.
+    """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
+    the f64 engine, or a raw Pallas call feeding the delta anchors) and
+    the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
 
     The axon remote compiler is superlinear in graph size (seconds for
-    each piece here, 300+ s when DIIS + eigensolve + energies fuse into
-    one program), so every phase compiles independently; dispatch
-    overhead is microseconds against per-phase run times of ms.
+    each piece here, 300+ s when everything fuses into one program), and
+    each dispatch ENQUEUE costs ~25 ms over the TPU tunnel -- two
+    dispatches per cycle is the sweet spot.
 
     xc_impl: 'f64' (parity path), 'pallas' (fused f32 TPU kernel, ~20x
     faster per call), or 'delta' (f32 increments on an f64 anchor --
-    pass delta_base from make_delta_base)."""
+    pass delta_base from make_delta_base).  Returns (dm_new, diis,
+    stat6) with stat6 = [e_tot, dnorm, e_one, e_coul, e_xc, e_ex]."""
     from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
     fence = timer is not None  # only fence phases when someone is timing:
     # a blocked dispatch costs a full host<->TPU round-trip (~27 ms over
     # the tunnel), so the hot loop stays fully async otherwise
     timer = timer or PhaseTimer()
-    c_hf = functional.hyb_coeff
-    with timer.phase("coulomb"):
-        j = _build_j(sys, dm)
     with timer.phase({"f64": "xc", "pallas": "xc_pallas",
                       "delta": "xc_delta"}[xc_impl], sync=None):
-        if xc_impl == "pallas":
-            e_xc, vxc = _pallas_xc(sys, functional, dm)
-        elif xc_impl == "delta":
-            # f64-anchored increment: Vxc(D) ~= Vxc64(D0) + [Vxc32(D) -
-            # Vxc32(D0)].  The f32 rounding of the two nearby evaluations
-            # correlates and cancels in the difference, so the Fock error
-            # is ~1e-8 while each tail iteration costs one Pallas call
-            # instead of the ~20x f64 engine (at DHA scale: 66 ms vs
-            # 1.5 s).  As D -> D* the increment freezes (deterministic
-            # f32), so |dE| and ||dD|| converge cleanly.
-            dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi = delta_base
-            exc32, vxc32 = _pallas_xc(sys, functional, dm)
-            e_xc = exc0_64 + (exc32 - exc0_32)
-            vxc = vxc0_64 + (vxc32 - vxc0_32)
+        if xc_impl in ("pallas", "delta"):
+            exc_in, vxc_in = _pallas_xc(sys, functional, dm)
         else:
-            e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights,
-                                sys.ao_grad)
+            exc_in, vxc_in = xc_step(functional, dm, sys.ao, sys.weights,
+                                     sys.ao_grad)
         if fence:
-            jax.block_until_ready(vxc)
-    if c_hf == 0.0:
-        k = jnp.zeros_like(j)
-    elif xc_impl == "delta" and sys.eri is None:
-        # K is LINEAR in D: K(D) = K64(D0) + K32(D - D0) exactly (up to
-        # the f32 rounding of the small difference term)
-        k = k0_hi + _build_k(sys, dm - delta_base[0], hi=False)
-    else:
-        k = _build_k(sys, dm, hi=xc_impl != "pallas")
-    with timer.phase("fock+solve"):
-        f = _fock(sys.hcore, j, vxc, k, c_hf)
-        diis, f = diis_update(diis, f, dm, sys.s, sys.x)
-        dm_new, dnorm = _solve_density(sys.x, f, dm, sys.nocc)
-        eb = _energies(dm_new, sys.hcore, j, k, e_xc,
-                       jnp.asarray(sys.e_nuc), c_hf)
-    return dm_new, diis, eb, dnorm
+            jax.block_until_ready(vxc_in)
+    with timer.phase("cycle_tail"):
+        dm_new, diis, stat = _cycle_tail(
+            sys, functional, dm, diis, exc_in, vxc_in,
+            delta_base if xc_impl == "delta" else None,
+            k_hi=xc_impl != "pallas",
+        )
+    return dm_new, diis, stat
 
 
 def make_delta_base(sys: SCFSystem, functional: Functional, dm):
@@ -402,7 +421,7 @@ def scf_host_staged(
         ):
             delta_base = make_delta_base(sys, functional, dm)
             cycles_since_anchor = 0
-        dm_new, diis, eb, dnorm_dev = scf_iteration_staged(
+        dm_new, diis, stat_dev = scf_iteration_staged(
             sys, functional, dm, diis, timer=timer, xc_impl=impl,
             delta_base=delta_base,
         )
@@ -410,9 +429,7 @@ def scf_host_staged(
         # ONE device->host materialization per cycle: each scalar fetch
         # costs a full round-trip over the TPU tunnel (~33 ms measured),
         # so e_tot/dnorm (and the callback's decomposition) ride together
-        stat = np.asarray(jnp.stack(
-            [eb.e_tot, dnorm_dev, eb.e_one, eb.e_coul, eb.e_xc, eb.e_ex_hf]
-        ))
+        stat = np.asarray(stat_dev)
         e_tot, dnorm = float(stat[0]), float(stat[1])
         eb = EnergyBreakdown(*(float(stat[i]) for i in (0, 2, 3, 4, 5)))
         de = e_tot - e_old
