@@ -278,6 +278,23 @@ def _fock(hcore, j, vxc, k, c_hf: float):
     return hcore + j + vxc - 0.5 * c_hf * k if c_hf != 0.0 else hcore + j + vxc
 
 
+@functools.partial(jax.jit, static_argnames=("sys", "functional", "delta"))
+def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
+                packed, base, delta: bool):
+    """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
+    J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
+    fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
+    remote compiler is superlinear in graph size).  `packed` are the
+    cached transposed f32 planes from pack_pallas_inputs."""
+    from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas_packed
+
+    aot, wt, grads = packed
+    exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt, grads,
+                                           sys.ao.shape[1])
+    return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
+                       base if delta else None, k_hi=delta)
+
+
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi"))
 def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 exc_in, vxc_in, base, k_hi: bool):
@@ -354,20 +371,35 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     # a blocked dispatch costs a full host<->TPU round-trip (~27 ms over
     # the tunnel), so the hot loop stays fully async otherwise
     timer = timer or PhaseTimer()
-    with timer.phase({"f64": "xc", "pallas": "xc_pallas",
-                      "delta": "xc_delta"}[xc_impl], sync=None):
-        if xc_impl in ("pallas", "delta"):
-            exc_in, vxc_in = _pallas_xc(sys, functional, dm)
-        else:
-            exc_in, vxc_in = xc_step(functional, dm, sys.ao, sys.weights,
-                                     sys.ao_grad)
+    if xc_impl in ("pallas", "delta"):
+        # one fused dispatch per cycle; the packed planes come from the
+        # per-system cache
+        from quantum_compute_dft_tpu.engine.pallas_xc import (
+            pack_pallas_inputs,
+        )
+
+        per_sys = _PALLAS_PACK_CACHE.setdefault(sys, {})
+        packed = per_sys.get(functional.needs_grad)
+        if packed is None:
+            packed = pack_pallas_inputs(sys.ao, sys.weights, sys.ao_grad,
+                                        n_grad=functional.needs_grad)
+            per_sys[functional.needs_grad] = packed
+        with timer.phase("cycle_" + xc_impl):
+            dm_new, diis, stat = _cycle_full(
+                sys, functional, dm, diis, packed, delta_base,
+                delta=xc_impl == "delta",
+            )
+            if fence:
+                jax.block_until_ready(stat)
+        return dm_new, diis, stat
+    with timer.phase("xc", sync=None):
+        exc_in, vxc_in = xc_step(functional, dm, sys.ao, sys.weights,
+                                 sys.ao_grad)
         if fence:
             jax.block_until_ready(vxc_in)
     with timer.phase("cycle_tail"):
         dm_new, diis, stat = _cycle_tail(
-            sys, functional, dm, diis, exc_in, vxc_in,
-            delta_base if xc_impl == "delta" else None,
-            k_hi=xc_impl != "pallas",
+            sys, functional, dm, diis, exc_in, vxc_in, None, k_hi=True,
         )
     return dm_new, diis, stat
 
