@@ -65,3 +65,20 @@ def test_pallas_f32_no_nan_over_extreme_inputs():
         for arr in (e, vr, vs):
             a = np.asarray(arr)
             assert np.isfinite(a).all(), fn.name
+
+
+def test_mixed_delta_scf_matches_f64(monkeypatch):
+    """End-to-end 'mixed' SCF (Pallas phase -> delta-refinement tail)
+    through the interpreter: the delta-mode plumbing (anchored Vxc/E_xc
+    increments, linear K split, packed-input cache, fused cycle) must
+    reproduce the f64 result at the parity bar."""
+    from quantum_compute_dft_tpu.scf.driver import scf_host_staged
+
+    setup = kohn_sham.prepare(from_atoms(H2O), "B3LYP", grid_level=0,
+                              density_fit=True)
+    r_ref = scf_host_staged(setup.sys, setup.functional, xc_impl="f64")
+    r_mix = scf_host_staged(setup.sys, setup.functional, xc_impl="mixed")
+    assert r_ref.converged and r_mix.converged
+    assert abs(r_mix.e_tot - r_ref.e_tot) < 1e-7, (
+        r_mix.e_tot, r_ref.e_tot
+    )
