@@ -100,6 +100,8 @@ class SCFSystem:
     # which re-shards them over the aux axis (parallel/sharded.py)
     df_j3c: object | None = None
     df_v2c: object | None = None
+    # SAD initial-guess density (diag of atomic occupations); None -> Hcore
+    dm_sad: jnp.ndarray | None = None
 
     def __hash__(self):  # static arg for jit: identity-based
         return id(self)
@@ -118,7 +120,8 @@ class EnergyBreakdown(NamedTuple):
 
 def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
                 df_coulomb=None, df_exchange=None,
-                df_j3c=None, df_v2c=None, df_exchange_hi=None) -> SCFSystem:
+                df_j3c=None, df_v2c=None, df_exchange_hi=None,
+                sad_occ=None) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
@@ -135,6 +138,7 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
         df_exchange_hi=df_exchange_hi or df_exchange,
         df_j3c=df_j3c,
         df_v2c=df_v2c,
+        dm_sad=None if sad_occ is None else jnp.diag(jnp.asarray(sad_occ, f64)),
     )
 
 
@@ -260,7 +264,11 @@ def energy_of_dm(sys: SCFSystem, functional: Functional, dm) -> EnergyBreakdown:
 
 
 def initial_guess(sys: SCFSystem) -> jnp.ndarray:
-    """Hcore guess (ref dft.py:181-182)."""
+    """SAD (superposition of atomic densities) when available -- typically
+    halves the iteration count -- else the reference's Hcore guess
+    (ref dft.py:181-182)."""
+    if sys.dm_sad is not None:
+        return sys.dm_sad
     return _density(sys.x, sys.hcore, sys.nocc)
 
 
