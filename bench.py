@@ -129,13 +129,15 @@ def main() -> int:
     xc_impl = os.environ.get("BENCH_XC_IMPL", "mixed")
     if jax.default_backend() == "cpu":
         xc_impl = "f64"  # the Pallas kernel is TPU-only
+    switch_tol = float(os.environ.get("BENCH_SWITCH_TOL", "1e-5"))
     timer = PhaseTimer()
     res = scf_host_staged(sys_dev, setup.functional, timer=timer,
-                          xc_impl=xc_impl)
+                          xc_impl=xc_impl, mixed_switch_tol=switch_tol)
 
     # timed SCF (the reference's "Total Time", ref dft.py:245)
     t0 = time.time()
-    res = scf_host_staged(sys_dev, setup.functional, xc_impl=xc_impl)
+    res = scf_host_staged(sys_dev, setup.functional, xc_impl=xc_impl,
+                          mixed_switch_tol=switch_tol)
     scf_s = time.time() - t0
     dm, eb, n_iter, done = res.dm, res.energy, res.n_iter, res.converged
 

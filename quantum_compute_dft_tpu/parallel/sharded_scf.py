@@ -90,6 +90,10 @@ def make_sharded_scf(mesh: Mesh, sys: SCFSystem, functional: Functional):
         e_tot = e_one + e_coul + e_xc + e_ex + e_nuc
         return dm_new, diis, e_tot
 
-    # Hcore guess, replicated (ref dft.py:181-182)
-    dm0 = _density(x_mat, hcore, nocc)
+    # initial guess, replicated: SAD when the system carries it (matching
+    # scf.driver.initial_guess), else Hcore (ref dft.py:181-182)
+    if sys.dm_sad is not None:
+        dm0 = jax.device_put(sys.dm_sad, rep)
+    else:
+        dm0 = _density(x_mat, hcore, nocc)
     return step, dm0, diis_init(nao)
