@@ -120,6 +120,8 @@ def main() -> int:
             np.asarray(setup.sys.weights),
             None if setup.sys.ao_grad is None else np.asarray(setup.sys.ao_grad),
             setup.sys.e_nuc, setup.sys.nocc,
+            sad_occ=None if setup.sys.dm_sad is None
+            else np.asarray(setup.sys.dm_sad).diagonal(),
         )
     sys_dev = setup.sys
 
