@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from quantum_compute_dft_tpu.basis.basis_set import BasisSet
-from quantum_compute_dft_tpu.integrals.boys import boys
+from quantum_compute_dft_tpu.integrals.boys import boys_fast as boys
 from quantum_compute_dft_tpu.integrals.mcmurchie import e_tables, hermite_combos, r_tensor
 
 
