@@ -53,8 +53,10 @@ def cholesky_eri_vectors(
     n = basis.ncart
     lmax = int(basis.cart_powers.max())
     if block is None:
-        # TPU materializes the vmapped per-quartet intermediates in HBM;
-        # keep blocks modest there (the single-core CPU fuses better)
+        # TPU materializes the vmapped per-quartet intermediates in HBM:
+        # measured 23.5 GB at block=256 for an s/p molecule (OOM on the
+        # 16 GB v5e), so 128 stays the device default; the single-core
+        # CPU fuses better and takes 256
         block = 256 if jax.default_backend() == "cpu" else 128
     iu, ju = np.triu_indices(n)
     npair = len(iu)

@@ -49,10 +49,12 @@ def prepare(
 ) -> KSSetup:
     """CPU/host data build + device upload (ref dft.py:118-176).
 
-    density_fit=None auto-selects: in-core ERIs up to nao ~ 110 (the
-    (nao^4) tensor stays under ~1.2 GB), density fitting beyond -- the
-    scalable path for DHA/acetyl-CoA-sized systems the reference cannot
-    reach in-core.  df_aux picks the factorization:
+    density_fit=None auto-selects: in-core ERIs for small systems
+    (nao <= 64), pivoted-Cholesky density fitting beyond -- at Decane
+    scale and up the O(npair^2) in-core quartet build costs ~10x the
+    O(npair * rank) Cholesky factorization, whose error is <= 1e-7
+    elementwise by construction.  The reference has only the in-core
+    path (ref grid.py:65).  df_aux picks the factorization:
       'parity' (default): pivoted-Cholesky ERI vectors (tol 1e-7,
         integrals/cholesky.py) -- guaranteed elementwise ERI error,
         SCF energies within ~1e-6 Eh of in-core;
@@ -78,7 +80,7 @@ def prepare(
     hcore = t + v
     _tick("one_electron")
     if density_fit is None:
-        density_fit = basis.nao > 110
+        density_fit = basis.nao > 64
     df_j = df_k = df_k_hi = None
     j3c = v2c = None
     eri = None
