@@ -99,7 +99,8 @@ def main() -> int:
     from quantum_compute_dft_tpu.basis import build_basis
 
     nao = build_basis(mol).nao
-    df_mode = density_fit if density_fit is not None else nao > 110
+    df_mode = (density_fit if density_fit is not None
+               else nao > kohn_sham.AUTO_DF_NAO)
     import contextlib
 
     ctx = (contextlib.nullcontext() if df_mode or jax.default_backend() == "cpu"

@@ -26,6 +26,10 @@ from quantum_compute_dft_tpu.scf.driver import (
 from quantum_compute_dft_tpu.xc.functionals import FUNCTIONALS, Functional
 
 
+# in-core ERIs below/at this nao, density fitting above (see prepare)
+AUTO_DF_NAO = 64
+
+
 @dataclasses.dataclass
 class KSSetup:
     sys: SCFSystem
@@ -80,7 +84,7 @@ def prepare(
     hcore = t + v
     _tick("one_electron")
     if density_fit is None:
-        density_fit = basis.nao > 64
+        density_fit = basis.nao > AUTO_DF_NAO
     df_j = df_k = df_k_hi = None
     j3c = v2c = None
     eri = None
