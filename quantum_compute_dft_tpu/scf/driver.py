@@ -448,6 +448,12 @@ def scf_host_staged(
     final reported energies are re-evaluated fully in f64."""
     import numpy as np
 
+    import os
+
+    if (xc_impl != "f64" and jax.default_backend() == "cpu"
+            and os.environ.get("DFT_PALLAS_INTERPRET") != "1"):
+        xc_impl = "f64"  # the Pallas kernel is TPU-only
+
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
     e_old = 0.0

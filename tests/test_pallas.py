@@ -26,6 +26,8 @@ H2O = [
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
+    # let the CPU SCF driver run the Pallas paths through the interpreter
+    monkeypatch.setenv("DFT_PALLAS_INTERPRET", "1")
     orig = pl.pallas_call
 
     def patched(*a, **k):
