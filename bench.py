@@ -188,6 +188,27 @@ def main() -> int:
     if use_pallas:
         extra["pallas_mfu"] = round(gflops / (_peak_tflops() * 1e3), 4)
         extra["peak_f32_tflops"] = _peak_tflops()
+        # the packed-input variant is what the SCF hot loop actually runs
+        # (the standalone number above includes the per-call f64->f32
+        # transpose of the AO planes)
+        from quantum_compute_dft_tpu.engine.pallas_xc import (
+            pack_pallas_inputs,
+            xc_step_pallas_packed,
+        )
+
+        packed = pack_pallas_inputs(sys_dev.ao, sys_dev.weights,
+                                    sys_dev.ao_grad,
+                                    n_grad=setup.functional.needs_grad)
+
+        def _packed_call(functional, dmx, *_):
+            return xc_step_pallas_packed(functional, dmx, packed[0],
+                                         packed[1], packed[2], N)
+
+        packed_ms = _time_xc(_packed_call, 20)
+        extra["xc_ms_per_call_packed"] = round(packed_ms, 3)
+        extra["pallas_mfu_packed"] = round(
+            flops / (packed_ms / 1000.0) / 1e9 / (_peak_tflops() * 1e3), 4
+        )
         # the f64 number too, for the parity-path record
         f64_ms = _time_xc(xc_step, 5)
         extra["xc_ms_per_call_f64"] = round(f64_ms, 3)
