@@ -328,6 +328,8 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
         e_xc = exc0_64 + (exc_in - exc0_32)
         vxc = vxc0_64 + (vxc_in - vxc0_32)
         if c_hf != 0.0:
+            # exact by linearity of K in D (in-core and DF alike); the
+            # fast (f32 at scale) path only ever sees the small increment
             k = k0_hi + _build_k(sys, dm - dm0_b, hi=False)
         else:
             k = jnp.zeros_like(j)
@@ -420,7 +422,7 @@ def make_delta_base(sys: SCFSystem, functional: Functional, dm):
                                sys.ao_grad)
     exc0_32, vxc0_32 = _pallas_xc(sys, functional, dm)
     k0_hi = (_build_k(sys, dm, hi=True)
-             if functional.hyb_coeff != 0.0 and sys.eri is None else None)
+             if functional.hyb_coeff != 0.0 else None)
     return (dm, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi)
 
 

@@ -84,3 +84,17 @@ def test_mixed_delta_scf_matches_f64(monkeypatch):
     assert abs(r_mix.e_tot - r_ref.e_tot) < 1e-7, (
         r_mix.e_tot, r_ref.e_tot
     )
+
+
+def test_mixed_delta_scf_incore_hybrid(monkeypatch):
+    """The delta tail with an IN-CORE hybrid (sys.eri present): the K
+    anchor must be built there too -- caught live on TPU as
+    'None + Tracer' when make_delta_base skipped it for in-core."""
+    from quantum_compute_dft_tpu.scf.driver import scf_host_staged
+
+    setup = kohn_sham.prepare(from_atoms(H2O), "B3LYP", grid_level=0,
+                              density_fit=False)
+    r_ref = scf_host_staged(setup.sys, setup.functional, xc_impl="f64")
+    r_mix = scf_host_staged(setup.sys, setup.functional, xc_impl="mixed")
+    assert r_ref.converged and r_mix.converged
+    assert abs(r_mix.e_tot - r_ref.e_tot) < 1e-7
