@@ -14,10 +14,21 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the axon remote compiler takes minutes for
 # large f64 graphs (measured 328 s for one fused SCF iteration); caching
-# makes every run after the first start in seconds.  Enabled only for
-# TPU-bearing processes -- sharing one cache dir across heterogeneous CPU
-# processes triggers mismatched-machine AOT loads (SIGILL risk).
+# makes every run after the first start in seconds.  DEFAULT-ON for
+# TPU-bearing processes (a CLI run without it pays ~60 s of recompiles
+# every invocation); disable with DFT_JAX_CACHE=0.  CPU-only processes
+# skip it -- sharing one cache dir across heterogeneous machines triggers
+# mismatched-feature AOT loads (SIGILL risk).
 _cache_dir = os.environ.get("DFT_JAX_CACHE", "")
+if not _cache_dir:
+    try:
+        _on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        _on_tpu = False
+    if _on_tpu:
+        _cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "quantum_compute_dft_tpu_jax"
+        )
 if _cache_dir and _cache_dir != "0":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
