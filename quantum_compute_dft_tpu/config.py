@@ -31,7 +31,7 @@ if not _cache_dir:
         )
 if _cache_dir and _cache_dir != "0":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Default dtype for the parity path.
 DTYPE = "float64"
