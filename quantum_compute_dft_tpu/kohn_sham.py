@@ -147,7 +147,8 @@ def prepare(
         hcore, s, eri, ao, grid.weights, ao_grad, mol.energy_nuc(), mol.nocc,
         df_coulomb=df_j, df_exchange=df_k, df_j3c=j3c, df_v2c=v2c,
         df_exchange_hi=df_k_hi if density_fit or _df_override else None,
-        sad_occ=sad_occupations(basis, mol.charges, 2 * mol.nocc),
+        sad_occ=sad_occupations(basis, mol.charges, mol.nelec),
+        nopen=mol.nopen,
     )
     _tick("make_system")
     return KSSetup(

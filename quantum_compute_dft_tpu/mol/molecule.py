@@ -36,13 +36,20 @@ class Molecule:
     @property
     def nocc(self) -> int:
         """Doubly-occupied orbital count for RKS (ref grid.py:52)."""
-        nelec = self.nelec
-        if nelec % 2 != 0:
-            raise ValueError(
-                f"RKS requires an even electron count, got {nelec}. "
-                "Use the `charge` argument to close the shell."
-            )
-        return nelec // 2
+        return self.nelec // 2
+
+    @property
+    def nopen(self) -> int:
+        """Singly-occupied orbital count (0 or 1).
+
+        The reference cannot represent odd-electron systems at all: its
+        PySCF build hardcodes spin=0 (ref grid.py:45) and mol.build()
+        raises on an odd electron count, so `python dft.py B3LYP CuO`
+        crashes before reaching the solver.  Here odd counts run as
+        fractional-occupation restricted KS: nelec//2 doubly-occupied
+        orbitals plus one singly-occupied HOMO (spin-restricted ensemble
+        density; scf.driver._density)."""
+        return self.nelec % 2
 
     def energy_nuc(self) -> float:
         """Nuclear repulsion sum_{i<j} Z_i Z_j / |R_i - R_j| (ref grid.py:66)."""

@@ -72,6 +72,7 @@ def make_sharded_scf(mesh: Mesh, sys: SCFSystem, functional: Functional):
 
     xc_fn = sharded_xc_step(mesh, functional)
     nocc = sys.nocc
+    nopen = sys.nopen
     e_nuc = sys.e_nuc
 
     @jax.jit
@@ -83,7 +84,7 @@ def make_sharded_scf(mesh: Mesh, sys: SCFSystem, functional: Functional):
         else:
             f = hcore + j + vxc
         diis, f = diis_update(diis, f, dm, s_mat, x_mat)
-        dm_new = _density(x_mat, f, nocc)
+        dm_new = _density(x_mat, f, nocc, nopen)
         e_one = jnp.sum(dm_new * hcore)
         e_coul = 0.5 * jnp.sum(dm_new * j)
         e_ex = -0.25 * c_hf * jnp.sum(dm_new * k) if k is not None else 0.0
@@ -95,5 +96,5 @@ def make_sharded_scf(mesh: Mesh, sys: SCFSystem, functional: Functional):
     if sys.dm_sad is not None:
         dm0 = jax.device_put(sys.dm_sad, rep)
     else:
-        dm0 = _density(x_mat, hcore, nocc)
+        dm0 = _density(x_mat, hcore, nocc, nopen)
     return step, dm0, diis_init(nao)

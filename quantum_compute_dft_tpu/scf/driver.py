@@ -44,6 +44,58 @@ MAX_CYCLE = 200      # ref dft.py:199
 DAMP_MIN_DNORM = 1.0
 DAMP_RATIO = 0.9
 
+# Level shifting: the tested convergence control for SCFs that stall or
+# charge-slosh below the damping guard's radius (observed: HeH/LDA, a
+# fractional-occupation doublet, approaches its fixed point then blows up
+# when DIIS extrapolates across a level crossing at ||dD|| ~ 1e-3).  When
+# ||dD|| fails to improve by 10% for SHIFT_STALL consecutive cycles, a
+# CONSTANT virtual-orbital shift F <- F + sigma (S - 1/2 S D S) engages
+# (and the DIIS history resets -- its unshifted iterates no longer match).
+# The shift leaves the SCF fixed point unchanged -- it only moves virtual
+# orbitals up by sigma, separating the states whose crossing drives the
+# oscillation -- so converged energies are identical; it is never decayed
+# (a decaying shift re-opens the crossing: measured on HeH, decay fails,
+# constant 0.5 converges in 64 cycles).  Escalates x2 on repeated stalls.
+LEVEL_SHIFT = 0.5       # Eh; initial sigma
+LEVEL_SHIFT_MAX = 4.0
+SHIFT_STALL = 8         # non-improving cycles before (re-)engaging
+SHIFT_MIN_DNORM = 1e-4  # below this DIIS is polishing; never engage
+
+
+def _level_shift(f, dm, s, shift):
+    """F + shift * S (I - 1/2 D S): moves virtuals up by `shift` Eh,
+    fixed point unchanged (the occupied subspace of F is untouched)."""
+    return f + shift * (s - 0.5 * s @ dm @ s)
+
+
+class _ShiftController:
+    """Host-side stall detector driving the level shift (see above)."""
+
+    def __init__(self, nao: int):
+        self.nao = nao
+        self.shift = 0.0
+        self._dn_best = float("inf")
+        self._stall = 0
+        self.engaged_at = None  # cycle index, for tests/logs
+
+    def update(self, cycle: int, dnorm: float):
+        """Feed one cycle's ||dD||; returns a fresh DIIS state when the
+        shift (re-)engages (the caller must reset its history), else None."""
+        if dnorm < 0.9 * self._dn_best:
+            self._dn_best = dnorm
+            self._stall = 0
+            return None
+        self._stall += 1
+        if self._stall >= SHIFT_STALL and dnorm > SHIFT_MIN_DNORM:
+            self.shift = (LEVEL_SHIFT if self.shift == 0.0
+                          else min(2.0 * self.shift, LEVEL_SHIFT_MAX))
+            if self.engaged_at is None:
+                self.engaged_at = cycle
+            self._stall = 0
+            self._dn_best = float("inf")
+            return diis_init(self.nao)
+        return None
+
 
 def _damp(dm_new, dm_old, dnorm, dnorm_prev):
     slosh = (dnorm > DAMP_MIN_DNORM) & (dnorm >= DAMP_RATIO * dnorm_prev)
@@ -90,6 +142,9 @@ class SCFSystem:
     ao_grad: jnp.ndarray | None
     e_nuc: float
     nocc: int
+    # singly-occupied orbital count (fractional-occupation RKS for
+    # odd-electron systems; the reference crashes on these, ref grid.py:45)
+    nopen: int = 0
     # density-fitting mode: jitted builders replacing the in-core eri paths
     df_coulomb: Callable | None = None
     df_exchange: Callable | None = None
@@ -121,7 +176,7 @@ class EnergyBreakdown(NamedTuple):
 def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
                 df_coulomb=None, df_exchange=None,
                 df_j3c=None, df_v2c=None, df_exchange_hi=None,
-                sad_occ=None) -> SCFSystem:
+                sad_occ=None, nopen=0) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
@@ -133,6 +188,7 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
         ao_grad=None if ao_grad is None else jnp.asarray(ao_grad, f64),
         e_nuc=float(e_nuc),
         nocc=int(nocc),
+        nopen=int(nopen),
         df_coulomb=df_coulomb,
         df_exchange=df_exchange,
         df_exchange_hi=df_exchange_hi or df_exchange,
@@ -142,29 +198,12 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
     )
 
 
-def _density(x, f, nocc):
-    """Solve F C = S C e via the orthogonal basis; D = 2 C_occ C_occ^T.
-
-    On TPU the eigh eigenvectors are only f32-quality, so the density is
-    rebuilt eigendecomposition-free: the occupied-subspace projector is
-    P = (I + sign(mu I - F'))/2 with the matrix sign from Newton-Schulz
-    iterations (pure f64 matmuls, exact on TPU), using the approximate
-    eigenvalues only for the chemical potential mu and the spectral
-    scale -- the standard density-purification trick of linear-scaling
-    DFT, repurposed as an f64-accuracy recovery on MXU hardware.  Falls
-    back to the eigh density when the HOMO-LUMO gap is too small for the
-    sign iteration to resolve."""
-    fp = x.T @ f @ x
-    w, cp = jnp.linalg.eigh(fp)
-    cocc = (x @ cp)[:, :nocc]
-    dm_eigh = 2.0 * cocc @ cocc.T
-    if not _tpu_backend():
-        return dm_eigh
-
-    n = fp.shape[0]
-    eye = jnp.eye(n, dtype=fp.dtype)
-    mu = 0.5 * (w[nocc - 1] + w[nocc])
-    gap = w[nocc] - w[nocc - 1]
+def _sign_projector(fp, w, n, eye):
+    """Projector onto the lowest-`n` eigenspace of fp via the matrix sign
+    (Newton-Schulz f64 matmuls, exact on TPU) + two McWeeny sweeps;
+    returns (P, gap) with gap the spectral separation at the cut."""
+    mu = 0.5 * (w[n - 1] + w[n])
+    gap = w[n] - w[n - 1]
     scale = jnp.maximum(jnp.abs(w[0] - mu), jnp.abs(w[-1] - mu)) * 1.05 + 1e-8
     a = (mu * eye - fp) / scale
 
@@ -176,7 +215,47 @@ def _density(x, f, nocc):
     # two McWeeny sweeps clean residual non-idempotency quadratically
     for _ in range(2):
         p = p @ p @ (3.0 * eye - 2.0 * p)
-    dm_sign = 2.0 * x @ p @ x.T
+    return p, gap
+
+
+def _density(x, f, nocc, nopen: int = 0):
+    """Solve F C = S C e via the orthogonal basis; D = 2 C_occ C_occ^T
+    (+ the singly-occupied HOMO for odd-electron systems, nopen=1 --
+    fractional-occupation RKS; the reference crashes on these,
+    ref grid.py:45).
+
+    On TPU the eigh eigenvectors are only f32-quality, so the density is
+    rebuilt eigendecomposition-free: the occupied-subspace projector is
+    P = (I + sign(mu I - F'))/2 with the matrix sign from Newton-Schulz
+    iterations (pure f64 matmuls, exact on TPU), using the approximate
+    eigenvalues only for the chemical potential mu and the spectral
+    scale -- the standard density-purification trick of linear-scaling
+    DFT, repurposed as an f64-accuracy recovery on MXU hardware.  For
+    nopen=1 the orthogonal-basis density is P_nocc + P_(nocc+1) (doubly
+    occupied subspace counted twice, the open HOMO once).  Falls back to
+    the eigh density when the HOMO-LUMO gap is too small for the sign
+    iteration to resolve."""
+    fp = x.T @ f @ x
+    w, cp = jnp.linalg.eigh(fp)
+    c = x @ cp
+    cocc = c[:, :nocc]
+    dm_eigh = 2.0 * cocc @ cocc.T
+    if nopen:
+        homo = c[:, nocc:nocc + nopen]
+        dm_eigh = dm_eigh + homo @ homo.T
+    if not _tpu_backend() or nocc == 0:
+        return dm_eigh
+
+    eye = jnp.eye(fp.shape[0], dtype=fp.dtype)
+    if nopen:
+        p0, gap0 = _sign_projector(fp, w, nocc, eye)
+        p1, gap1 = _sign_projector(fp, w, nocc + nopen, eye)
+        p = p0 + p1
+        gap = jnp.minimum(gap0, gap1)
+    else:
+        p, gap = _sign_projector(fp, w, nocc, eye)
+        p = 2.0 * p
+    dm_sign = x @ p @ x.T
     dm_sign = 0.5 * (dm_sign + dm_sign.T)
     return jnp.where(gap > 1e-5, dm_sign, dm_eigh)
 
@@ -218,8 +297,10 @@ def _build_k(sys: SCFSystem, dm, hi: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional"))
-def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis: DIISState):
-    """One SCF cycle: returns (dm_new, diis, EnergyBreakdown, E_xc parts)."""
+def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
+                  shift=0.0):
+    """One SCF cycle: returns (dm_new, diis, EnergyBreakdown, E_xc parts).
+    `shift` is the level-shift sigma (traced scalar; 0 = off)."""
     j = _build_j(sys, dm)
     e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
     c_hf = functional.hyb_coeff
@@ -231,7 +312,8 @@ def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis: DIISState):
         f = sys.hcore + j + vxc
 
     diis, f = diis_update(diis, f, dm, sys.s, sys.x)
-    dm_new = _density(sys.x, f, sys.nocc)
+    f = _level_shift(f, dm, sys.s, shift)
+    dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
 
     e_one = jnp.sum(dm_new * sys.hcore)
     e_coul = 0.5 * jnp.sum(dm_new * j)
@@ -269,7 +351,7 @@ def initial_guess(sys: SCFSystem) -> jnp.ndarray:
     (ref dft.py:181-182)."""
     if sys.dm_sad is not None:
         return sys.dm_sad
-    return _density(sys.x, sys.hcore, sys.nocc)
+    return _density(sys.x, sys.hcore, sys.nocc, sys.nopen)
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +370,7 @@ def _fock(hcore, j, vxc, k, c_hf: float):
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "delta"))
 def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
-                packed, base, delta: bool):
+                packed, base, delta: bool, shift=0.0):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -300,12 +382,12 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt, grads,
                                            sys.ao.shape[1])
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
-                       base if delta else None, k_hi=delta)
+                       base if delta else None, k_hi=delta, shift=shift)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi"))
 def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
-                exc_in, vxc_in, base, k_hi: bool):
+                exc_in, vxc_in, base, k_hi: bool, shift=0.0):
     """Everything after the XC build, fused into ONE dispatch: J, K,
     Fock assembly, DIIS, eigensolve/purification, energies, and the
     6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
@@ -335,7 +417,8 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
             k = jnp.zeros_like(j)
     f = _fock(sys.hcore, j, vxc, k, c_hf)
     diis, f = diis_update(diis, f, dm, sys.s, sys.x)
-    dm_new = _density(sys.x, f, sys.nocc)
+    f = _level_shift(f, dm, sys.s, shift)
+    dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
     dnorm = jnp.linalg.norm(dm_new - dm)
     eb = _energies(dm_new, sys.hcore, j, k, e_xc,
                    jnp.asarray(sys.e_nuc), c_hf)
@@ -344,9 +427,9 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     return dm_new, diis, stat
 
 
-@functools.partial(jax.jit, static_argnames=("nocc",))
-def _solve_density(x, f, dm, nocc: int):
-    dm_new = _density(x, f, nocc)
+@functools.partial(jax.jit, static_argnames=("nocc", "nopen"))
+def _solve_density(x, f, dm, nocc: int, nopen: int = 0):
+    dm_new = _density(x, f, nocc, nopen)
     return dm_new, jnp.linalg.norm(dm_new - dm)
 
 
@@ -361,7 +444,7 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
-                         delta_base=None):
+                         delta_base=None, shift=0.0):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -397,7 +480,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         with timer.phase("cycle_" + xc_impl):
             dm_new, diis, stat = _cycle_full(
                 sys, functional, dm, diis, packed, delta_base,
-                delta=xc_impl == "delta",
+                delta=xc_impl == "delta", shift=shift,
             )
             if fence:
                 jax.block_until_ready(stat)
@@ -410,6 +493,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     with timer.phase("cycle_tail"):
         dm_new, diis, stat = _cycle_tail(
             sys, functional, dm, diis, exc_in, vxc_in, None, k_hi=True,
+            shift=shift,
         )
     return dm_new, diis, stat
 
@@ -458,6 +542,7 @@ def scf_host_staged(
 
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
+    shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
     dnorm_prev = float("inf")
     impl = "pallas" if xc_impl in ("pallas", "mixed") else "f64"
@@ -471,7 +556,7 @@ def scf_host_staged(
             cycles_since_anchor = 0
         dm_new, diis, stat_dev = scf_iteration_staged(
             sys, functional, dm, diis, timer=timer, xc_impl=impl,
-            delta_base=delta_base,
+            delta_base=delta_base, shift=shiftc.shift,
         )
         cycles_since_anchor += 1
         # ONE device->host materialization per cycle: each scalar fetch
@@ -491,17 +576,24 @@ def scf_host_staged(
                 stat = np.asarray(jnp.stack(list(eb_dev)))
                 eb = EnergyBreakdown(*(float(v) for v in stat))
                 e_tot = eb.e_tot
-            return SCFResult(True, cycle + 1, dm_new, eb, e_tot)
+            return SCFResult(True, cycle + 1, dm_new, eb, e_tot,
+                             level_shift=shiftc.shift,
+                             shift_engaged_at=shiftc.engaged_at)
         if xc_impl == "mixed" and impl == "pallas" and cycle > 0 and (
             converged or abs(de) < mixed_switch_tol
         ):
             impl = "delta"  # f64-anchored f32 increments from here on
+        fresh_diis = shiftc.update(cycle, dnorm)
+        if fresh_diis is not None:
+            diis = fresh_diis
         if dnorm > DAMP_MIN_DNORM and dnorm >= DAMP_RATIO * dnorm_prev:
             dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above
         dnorm_prev = dnorm
         dm = dm_new
         e_old = e_tot
-    return SCFResult(False, max_cycle, dm, eb, e_tot)
+    return SCFResult(False, max_cycle, dm, eb, e_tot,
+                     level_shift=shiftc.shift,
+                     shift_engaged_at=shiftc.engaged_at)
 
 
 @dataclasses.dataclass
@@ -511,6 +603,10 @@ class SCFResult:
     dm: jnp.ndarray
     energy: EnergyBreakdown
     e_tot: float
+    # convergence-control observability (tests assert these): the final
+    # level-shift sigma and the cycle where it first engaged (None = never)
+    level_shift: float = 0.0
+    shift_engaged_at: int | None = None
 
 
 def scf_host(
@@ -526,10 +622,12 @@ def scf_host(
 
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     diis = diis_init(dm.shape[0])
+    shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
     dnorm_prev = float("inf")
     for cycle in range(max_cycle):
-        dm_new, diis, eb = scf_iteration(sys, functional, dm, diis)
+        dm_new, diis, eb = scf_iteration(sys, functional, dm, diis,
+                                         shift=shiftc.shift)
         # one materialization per cycle (see scf_host_staged)
         stat = np.asarray(jnp.stack(
             [eb.e_tot, jnp.linalg.norm(dm_new - dm),
@@ -541,13 +639,20 @@ def scf_host(
         if callback:
             callback(cycle, eb, de, dnorm)
         if abs(de) < conv_tol_e and dnorm < conv_tol_d:
-            return SCFResult(True, cycle + 1, dm_new, eb, e_tot)
+            return SCFResult(True, cycle + 1, dm_new, eb, e_tot,
+                             level_shift=shiftc.shift,
+                             shift_engaged_at=shiftc.engaged_at)
+        fresh_diis = shiftc.update(cycle, dnorm)
+        if fresh_diis is not None:
+            diis = fresh_diis
         if dnorm > DAMP_MIN_DNORM and dnorm >= DAMP_RATIO * dnorm_prev:
             dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above
         dnorm_prev = dnorm
         dm = dm_new
         e_old = e_tot
-    return SCFResult(False, max_cycle, dm, eb, e_tot)
+    return SCFResult(False, max_cycle, dm, eb, e_tot,
+                     level_shift=shiftc.shift,
+                     shift_engaged_at=shiftc.engaged_at)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "max_cycle"))
