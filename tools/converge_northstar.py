@@ -76,14 +76,24 @@ def main() -> int:
 
     traj_path = os.path.join(here, "docs", "northstar_trajectory.jsonl")
     out_path = os.path.join(here, "docs", "northstar_convergence.json")
-    open(traj_path, "w").close()
 
     e_last = None
     dm_last = np.asarray(dm)
     converged = False
     cycle = 0
+    start_cycle = 1
+    ckpt_path = os.path.join(here, ".cache", f"northstar_dm_{mol_name}.npz")
+    if os.path.exists(ckpt_path) and not os.environ.get("NORTHSTAR_FRESH"):
+        with np.load(ckpt_path) as z:
+            dm = jax.device_put(z["dm"])
+            dm_last = z["dm_last"]
+            e_last = float(z["e_last"]) if np.isfinite(z["e_last"]) else None
+            start_cycle = int(z["cycle"]) + 1
+        print(f"resumed from checkpoint at cycle {start_cycle - 1}", flush=True)
+    else:
+        open(traj_path, "w").close()
     deadline = t0 + max_hours * 3600
-    for cycle in range(1, MAX_CYCLES + 1):
+    for cycle in range(start_cycle, MAX_CYCLES + 1):
         t_c = time.time()
         dm, diis, e_tot = step(dm, diis)
         jax.block_until_ready(dm)
@@ -102,6 +112,8 @@ def main() -> int:
             converged = True
             break
         e_last, dm_last = e, dm_np
+        np.savez(ckpt_path, dm=dm_np, dm_last=dm_last,
+                 e_last=e if e is not None else np.nan, cycle=cycle)
         if time.time() > deadline:
             print("walltime budget exhausted", flush=True)
             break
