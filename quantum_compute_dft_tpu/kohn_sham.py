@@ -80,7 +80,15 @@ def prepare(
 
     _tick(None)
     basis = build_basis(mol)
-    s, t, v = one_electron(basis, mol.coords, mol.charges)
+    from quantum_compute_dft_tpu import setup_cache
+
+    ck = setup_cache.molecule_basis_key(mol, basis)
+    hit = setup_cache.load("int1e", ck, ("s", "t", "v"))
+    if hit is not None:
+        s, t, v = hit
+    else:
+        s, t, v = one_electron(basis, mol.coords, mol.charges)
+        setup_cache.store("int1e", ck, s=s, t=t, v=v)
     hcore = t + v
     _tick("one_electron")
     if density_fit is None:
@@ -103,7 +111,13 @@ def prepare(
                 cholesky_eri_vectors,
             )
 
-            j3c, v2c = cholesky_eri_vectors(basis), None
+            hit = setup_cache.load("cdvec", ck, ("l_vec",))
+            if hit is not None:
+                j3c = hit[0]
+            else:
+                j3c = cholesky_eri_vectors(basis)
+                setup_cache.store("cdvec", ck, l_vec=j3c)
+            v2c = None
         else:
             j3c, v2c = df_tensors(basis, mol, aux_level=df_aux)
         _tick("df_factorization")
@@ -123,10 +137,23 @@ def prepare(
                     j3c, v2c, build_k=True, k_dtype="float64"
                 )
     else:
-        eri = eri_full(basis)
+        hit = setup_cache.load("eri", ck, ("eri",)) if basis.nao <= 80 else None
+        if hit is not None:
+            eri = hit[0]
+        else:
+            eri = eri_full(basis)
+            if basis.nao <= 80:  # (nao^4)*8B; 80 -> 330 MB cap
+                setup_cache.store("eri", ck, eri=np.asarray(eri))
         _tick("eri_full")
     if grid is None:
-        grid = build_grid(mol, level=grid_level, prune=prune)
+        gkey = f"{ck}_L{grid_level}_p{int(prune)}"
+        hit = setup_cache.load("grid", gkey, ("coords", "weights", "atom_idx"))
+        if hit is not None:
+            grid = Grid(coords=hit[0], weights=hit[1], atom_idx=hit[2])
+        else:
+            grid = build_grid(mol, level=grid_level, prune=prune)
+            setup_cache.store("grid", gkey, coords=grid.coords,
+                              weights=grid.weights, atom_idx=grid.atom_idx)
     _tick("grid")
 
     # keep AO arrays device-resident off-CPU: the host<->TPU relay here
