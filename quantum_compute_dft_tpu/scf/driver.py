@@ -545,6 +545,8 @@ def scf_host_staged(
     shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
     dnorm_prev = float("inf")
+    eb = EnergyBreakdown(*(float("nan"),) * 5)  # bound even at max_cycle=0
+    e_tot = float("nan")
     impl = "pallas" if xc_impl in ("pallas", "mixed") else "f64"
     delta_base = None
     cycles_since_anchor = 0
@@ -591,6 +593,13 @@ def scf_host_staged(
         dnorm_prev = dnorm
         dm = dm_new
         e_old = e_tot
+    if max_cycle > 0:
+        # the loop's last eb was computed from the pre-damping dm_new;
+        # report the energy of the density actually returned
+        eb_dev = energy_of_dm(sys, functional, dm)
+        eb = EnergyBreakdown(*(float(v) for v in
+                               np.asarray(jnp.stack(list(eb_dev)))))
+        e_tot = eb.e_tot
     return SCFResult(False, max_cycle, dm, eb, e_tot,
                      level_shift=shiftc.shift,
                      shift_engaged_at=shiftc.engaged_at)
@@ -625,6 +634,8 @@ def scf_host(
     shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
     dnorm_prev = float("inf")
+    eb = EnergyBreakdown(*(float("nan"),) * 5)  # bound even at max_cycle=0
+    e_tot = float("nan")
     for cycle in range(max_cycle):
         dm_new, diis, eb = scf_iteration(sys, functional, dm, diis,
                                          shift=shiftc.shift)
@@ -650,6 +661,12 @@ def scf_host(
         dnorm_prev = dnorm
         dm = dm_new
         e_old = e_tot
+    if max_cycle > 0:
+        # see scf_host_staged: report the energy of the returned density
+        eb_dev = energy_of_dm(sys, functional, dm)
+        eb = EnergyBreakdown(*(float(v) for v in
+                               np.asarray(jnp.stack(list(eb_dev)))))
+        e_tot = eb.e_tot
     return SCFResult(False, max_cycle, dm, eb, e_tot,
                      level_shift=shiftc.shift,
                      shift_engaged_at=shiftc.engaged_at)

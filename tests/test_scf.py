@@ -5,7 +5,11 @@ import pytest
 
 from quantum_compute_dft_tpu import kohn_sham
 from quantum_compute_dft_tpu.mol import from_atoms, from_xyz_text
-from quantum_compute_dft_tpu.scf.driver import scf_host, scf_jit
+from quantum_compute_dft_tpu.scf.driver import (
+    scf_host,
+    scf_host_staged,
+    scf_jit,
+)
 from quantum_compute_dft_tpu.xc import FUNCTIONALS
 
 H2O = [
@@ -84,6 +88,52 @@ def test_charged_molecule():
     res = kohn_sham.run(from_atoms(h3o, charge=1), "LDA", grid_level=1)
     assert res.converged
     assert -76.0 < res.e_tot < -74.0
+
+
+def test_zero_cycle_call_returns(h2o_setups):
+    # max_cycle=0 must return a well-formed (unconverged) result, not
+    # raise on unbound locals
+    s = h2o_setups["LDA"]
+    for fn in (scf_host, scf_host_staged):
+        res = fn(s.sys, s.functional, max_cycle=0)
+        assert not res.converged
+        assert res.n_iter == 0
+        assert np.isnan(res.e_tot)
+
+
+def test_unconverged_energy_matches_returned_density(h2o_setups):
+    # when the loop exits unconverged, the reported energy must be the
+    # energy OF the returned density (damping may have mutated it after
+    # the last energy evaluation)
+    from quantum_compute_dft_tpu.scf.driver import energy_of_dm
+
+    s = h2o_setups["B3LYP"]
+    res = scf_host(s.sys, s.functional, max_cycle=3)
+    assert not res.converged
+    eb = energy_of_dm(s.sys, s.functional, res.dm)
+    assert abs(float(eb.e_tot) - res.e_tot) < 1e-12
+
+
+def test_level_shift_converges_oscillator():
+    # HeH/LDA (fractional-occupation doublet) oscillates forever with
+    # plain CDIIS: the stall detector must engage the level shift and the
+    # SCF must then converge -- the observable VERDICT r2 item 8 asks for
+    mol = from_xyz_text(open("molecules/HeH.xyz").read())
+    assert mol.nopen == 1  # odd-electron: fractional-occupation RKS
+    res = kohn_sham.run(mol, "LDA", grid_level=1)
+    assert res.converged
+    assert res.shift_engaged_at is not None
+    assert res.level_shift > 0.0
+
+
+def test_level_shift_untouched_on_healthy_scf(h2o_setups):
+    # healthy convergence must never engage the shift (energies would
+    # still be right, but cycle counts would regress)
+    s = h2o_setups["LDA"]
+    res = scf_host(s.sys, s.functional)
+    assert res.converged
+    assert res.shift_engaged_at is None
+    assert res.level_shift == 0.0
 
 
 def test_cli_end_to_end(capsys, tmp_path):
