@@ -175,7 +175,9 @@ def _shell_self_overlap(l: int, alphas, coeffs) -> float:
     return s
 
 
-def build_basis(mol: Molecule) -> BasisSet:
+def build_basis(mol: Molecule, zeta_override=None) -> BasisSet:
+    """zeta_override: {symbol: {shell_name: zeta}} trial exponents (the
+    variational optimizer, basis/atomic_scf.py); beats the ZETA tables."""
     # warn once per element when the STO-3G tables for it are not the
     # published (canonical) values -- sub-1e-6 Eh parity with a reference
     # PySCF sto-3g run cannot be guaranteed for such molecules
@@ -184,6 +186,8 @@ def build_basis(mol: Molecule) -> BasisSet:
     from quantum_compute_dft_tpu.basis.data import provenance
 
     for sym in sorted(set(mol.symbols)):
+        if zeta_override and sym in zeta_override:
+            continue
         prov = provenance(sym)
         if prov != "canonical":
             warnings.warn(
@@ -197,7 +201,9 @@ def build_basis(mol: Molecule) -> BasisSet:
 
     shells: list[Shell] = []
     for ia, sym in enumerate(mol.symbols):
-        for shell_name, l, alphas, coeffs in element_shells(sym):
+        for shell_name, l, alphas, coeffs in element_shells(
+            sym, (zeta_override or {}).get(sym)
+        ):
             a = np.asarray(alphas, dtype=np.float64)
             c = np.asarray(coeffs, dtype=np.float64)
             c = c / sqrt(_shell_self_overlap(l, a, c))

@@ -276,29 +276,37 @@ def provenance(symbol: str) -> str:
     return worst
 
 
-def element_shells(symbol: str) -> list[tuple[str, int, tuple[float, ...], tuple[float, ...]]]:
+def element_shells(
+    symbol: str, zeta_override: dict[str, float] | None = None
+) -> list[tuple[str, int, tuple[float, ...], tuple[float, ...]]]:
     """-> [(shell_name, l, alphas_scaled, coeffs), ...] for one element.
 
     If canonical tables were imported (tools/import_basis.py writes
     basis/sto3g_override.py), they take precedence over the generated
-    zeta-scaled universal fits."""
+    zeta-scaled universal fits.  `zeta_override` maps shell name -> zeta
+    for trial basis sets (the variational optimizer, basis/atomic_scf.py)
+    and beats both sources."""
     from quantum_compute_dft_tpu.mol.elements import Z_OF
 
-    try:
-        from quantum_compute_dft_tpu.basis.sto3g_override import SHELLS
+    if zeta_override is None:
+        try:
+            from quantum_compute_dft_tpu.basis.sto3g_override import SHELLS
 
-        if symbol in SHELLS:
-            return [
-                (f"override(l={l})", l, tuple(a), tuple(c))
-                for (l, a, c) in SHELLS[symbol]
-            ]
-    except ImportError:
-        pass
+            if symbol in SHELLS:
+                return [
+                    (f"override(l={l})", l, tuple(a), tuple(c))
+                    for (l, a, c) in SHELLS[symbol]
+                ]
+        except ImportError:
+            pass
 
     z = Z_OF[symbol]
     out = []
     for shell in shells_for_z(z):
-        zeta, _prov = ZETA[symbol][shell]
+        if zeta_override and shell in zeta_override:
+            zeta = zeta_override[shell]
+        else:
+            zeta = ZETA[symbol][shell][0]
         alphas, by_l = UNIVERSAL_FITS[shell]
         scaled = tuple(a * zeta * zeta for a in alphas)
         for l, coeffs in sorted(by_l.items()):

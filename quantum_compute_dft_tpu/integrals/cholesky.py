@@ -36,8 +36,9 @@ import jax.numpy as jnp
 
 from quantum_compute_dft_tpu.basis.basis_set import BasisSet, NPRIM
 from quantum_compute_dft_tpu.integrals.two_electron import (
-    _pair_stage,
-    _quartet_kernel,
+    _block_runner,
+    _diag_runner,
+    _pairs_runner,
 )
 
 
@@ -68,34 +69,12 @@ def cholesky_eri_vectors(
     b_grid = jnp.asarray(np.tile(al[ju], (1, NPRIM)))
     cw = jnp.asarray(np.repeat(co[iu], NPRIM, axis=1) * np.tile(co[ju], (1, NPRIM)))
 
-    pair_fn, _ = _pair_stage(lmax)
+    p_all, P_all, et_all = _pairs_runner(lmax)(
+        pw, ce, jnp.asarray(iu), jnp.asarray(ju), a_grid, b_grid
+    )
 
-    @jax.jit
-    def run_pairs(ii, jj, ag, bg):
-        def one(i, j, a9, b9):
-            return jax.vmap(
-                lambda a, b: pair_fn(pw[i], pw[j], ce[i], ce[j], a, b)
-            )(a9, b9)
-        return jax.vmap(one)(ii, jj, ag, bg)
-
-    p_all, P_all, et_all = run_pairs(jnp.asarray(iu), jnp.asarray(ju),
-                                     a_grid, b_grid)
-
-    quartet = _quartet_kernel(2 * lmax)
-
-    @jax.jit
-    def run_block(pa, Pa, eta, cwa, pb, Pb, etb, cwb):
-        return jax.vmap(
-            lambda p1, P1, e1, c1: jax.vmap(
-                lambda p2, P2, e2, c2: quartet(p1, P1, e1, c1, p2, P2, e2, c2)
-            )(pb, Pb, etb, cwb)
-        )(pa, Pa, eta, cwa)
-
-    @jax.jit
-    def run_diag(pa, Pa, eta, cwa):
-        return jax.vmap(
-            lambda p1, P1, e1, c1: quartet(p1, P1, e1, c1, p1, P1, e1, c1)
-        )(pa, Pa, eta, cwa)
+    run_block = _block_runner(2 * lmax)
+    run_diag = _diag_runner(2 * lmax)
 
     def padded(arrs, m, fill_first=True):
         n_ = arrs[0].shape[0]

@@ -82,6 +82,27 @@ def _pair_kernel(lmax: int):
     return pair
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_runner(lmax: int):
+    """Module-cached jitted pair sweep: arrays are ARGUMENTS (not
+    closures), so same-shape calls (zeta trials, warm reruns) reuse one
+    compiled program instead of re-tracing per invocation."""
+    kern = _pair_kernel(lmax)
+
+    @jax.jit
+    def run(pw, ce, al, co, axyz, az, ii, jj):
+        return jax.vmap(
+            lambda i, j: kern(
+                pw[i], pw[j], ce[i], ce[j], al[i], al[j], co[i], co[j], axyz, az
+            )
+        )(ii, jj)
+
+    return run
+
+
 def one_electron_cart(basis: BasisSet, atom_xyz: np.ndarray, atom_z: np.ndarray):
     """S, T, V in the cartesian AO basis, computed pairwise on device."""
     n = basis.ncart
@@ -95,17 +116,9 @@ def one_electron_cart(basis: BasisSet, atom_xyz: np.ndarray, atom_z: np.ndarray)
     axyz = jnp.asarray(atom_xyz)
     az = jnp.asarray(atom_z)
 
-    kern = _pair_kernel(lmax)
-
-    @jax.jit
-    def run(ii, jj):
-        return jax.vmap(
-            lambda i, j: kern(
-                pw[i], pw[j], ce[i], ce[j], al[i], al[j], co[i], co[j], axyz, az
-            )
-        )(ii, jj)
-
-    s_u, t_u, v_u = run(jnp.asarray(iu), jnp.asarray(ju))
+    s_u, t_u, v_u = _pair_runner(lmax)(
+        pw, ce, al, co, axyz, az, jnp.asarray(iu), jnp.asarray(ju)
+    )
 
     def unpack(vals):
         m = np.zeros((n, n))

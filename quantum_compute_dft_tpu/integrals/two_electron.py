@@ -99,6 +99,56 @@ def _quartet_kernel(l_bra: int, l_ket: int | None = None):
     return quartet
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _pairs_runner(la: int, lb: int | None = None):
+    """Module-cached jitted pair-stage: arrays are ARGUMENTS (not
+    closures), so repeat calls at the same shapes -- zeta trials, warm
+    molecule reruns, the Cholesky path -- reuse one compiled program."""
+    pair_fn, _ = _pair_stage(la, lb)
+
+    @jax.jit
+    def run_pairs(pw, ce, ii, jj, ag, bg):
+        def one(i, j, a9, b9):
+            return jax.vmap(
+                lambda a, b: pair_fn(pw[i], pw[j], ce[i], ce[j], a, b)
+            )(a9, b9)
+        return jax.vmap(one)(ii, jj, ag, bg)
+
+    return run_pairs
+
+
+@functools.lru_cache(maxsize=None)
+def _block_runner(l_bra: int, l_ket: int | None = None):
+    """Module-cached jitted quartet block (see _pairs_runner)."""
+    quartet = _quartet_kernel(l_bra, l_ket)
+
+    @jax.jit
+    def run_block(pa, Pa, eta, cwa, pb, Pb, etb, cwb):
+        return jax.vmap(
+            lambda p1, P1, e1, c1: jax.vmap(
+                lambda p2, P2, e2, c2: quartet(p1, P1, e1, c1, p2, P2, e2, c2)
+            )(pb, Pb, etb, cwb)
+        )(pa, Pa, eta, cwa)
+
+    return run_block
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_runner(l_bra: int):
+    quartet = _quartet_kernel(l_bra)
+
+    @jax.jit
+    def run_diag(pa, Pa, eta, cwa):
+        return jax.vmap(
+            lambda p1, P1, e1, c1: quartet(p1, P1, e1, c1, p1, P1, e1, c1)
+        )(pa, Pa, eta, cwa)
+
+    return run_diag
+
+
 def eri_packed(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = None):
     """ERIs over unique cartesian AO pairs: returns (pair_idx, W) with
     W[a, b] = (i_a j_a | i_b j_b) for the Schwarz-surviving pair list."""
@@ -120,29 +170,12 @@ def eri_packed(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = N
     b_grid = jnp.asarray(np.tile(al[ju], (1, NPRIM)))
     cw = jnp.asarray(np.repeat(co[iu], NPRIM, axis=1) * np.tile(co[ju], (1, NPRIM)))
 
-    pair_fn, combos = _pair_stage(lmax)  # (lmax, lmax) AO pairs
-
-    @jax.jit
-    def run_pairs(ii, jj, ag, bg):
-        def one(i, j, a9, b9):
-            return jax.vmap(
-                lambda a, b: pair_fn(pw[i], pw[j], ce[i], ce[j], a, b)
-            )(a9, b9)
-        return jax.vmap(one)(ii, jj, ag, bg)
-
-    p_all, P_all, et_all = run_pairs(
-        jnp.asarray(iu), jnp.asarray(ju), a_grid, b_grid
+    p_all, P_all, et_all = _pairs_runner(lmax)(
+        pw, ce, jnp.asarray(iu), jnp.asarray(ju), a_grid, b_grid
     )  # (npair, 9), (npair, 9, 3), (npair, 9, nc)
 
-    quartet = _quartet_kernel(2 * lmax)  # bra/ket both AO pairs
-
-    @jax.jit
-    def run_block(pa, Pa, eta, cwa, pb, Pb, etb, cwb):
-        return jax.vmap(
-            lambda p1, P1, e1, c1: jax.vmap(
-                lambda p2, P2, e2, c2: quartet(p1, P1, e1, c1, p2, P2, e2, c2)
-            )(pb, Pb, etb, cwb)
-        )(pa, Pa, eta, cwa)
+    run_block = _block_runner(2 * lmax)  # bra/ket both AO pairs
+    run_diag = _diag_runner(2 * lmax)
 
     # --- Schwarz factors: Q_ab = sqrt((ab|ab)) ---
     def diag_blocks():
@@ -150,9 +183,7 @@ def eri_packed(basis: BasisSet, screen_tol: float = 1e-12, block: int | None = N
         for s in range(0, npair_all, block):
             e = min(s + block, npair_all)
             sl = slice(s, e)
-            vals = jax.vmap(
-                lambda p1, P1, e1, c1: quartet(p1, P1, e1, c1, p1, P1, e1, c1)
-            )(p_all[sl], P_all[sl], et_all[sl], cw[sl])
+            vals = run_diag(p_all[sl], P_all[sl], et_all[sl], cw[sl])
             qs.append(np.asarray(vals))
         return np.sqrt(np.abs(np.concatenate(qs)))
 

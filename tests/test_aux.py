@@ -87,6 +87,7 @@ def test_graft_entry_single_chip():
     assert np.isfinite(float(out[2]))
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import importlib.util
 

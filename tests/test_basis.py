@@ -108,10 +108,14 @@ def test_molecule_counts_and_enuc():
     assert mol.energy_nuc() > 0
 
 
-def test_odd_electron_raises():
+def test_odd_electron_fractional_occupation():
+    # odd electron counts run as fractional-occupation RKS (one singly-
+    # occupied HOMO); the reference crashes on these (its PySCF build
+    # hardcodes spin=0, ref grid.py:45)
     mol = from_xyz_text("H 0 0 0\nO 0 0 0.97")
-    with pytest.raises(ValueError):
-        mol.nocc
+    assert mol.nelec == 9
+    assert mol.nocc == 4
+    assert mol.nopen == 1
 
 
 def test_stong_fit_reproduces_canonical():

@@ -66,6 +66,7 @@ def test_ri_jk_accuracy(h2o_df):
     assert k_err < 1e-4, k_err
 
 
+@pytest.mark.slow
 def test_cholesky_jk_accuracy():
     # Cholesky vectors at tol=1e-7: J/K match the in-core build to the
     # elementwise guarantee
@@ -83,6 +84,7 @@ def test_cholesky_jk_accuracy():
     assert k_err < 1e-7, k_err
 
 
+@pytest.mark.slow
 def test_cholesky_truncation_bound():
     # at a loose tol the factorization truncates below full rank and the
     # elementwise residual honors the pivoted-Cholesky bound
@@ -101,6 +103,7 @@ def test_cholesky_truncation_bound():
     assert err < tol
 
 
+@pytest.mark.slow
 def test_df_scf_matches_incore():
     # the VERDICT r1 "1e-6 Eh DF parity" acceptance test (was 5e-4 with the
     # even-tempered RI aux; the default DF path is now pivoted-Cholesky,
@@ -115,6 +118,7 @@ def test_df_scf_matches_incore():
     assert abs(r_ref.e_tot - r_df.e_tot) < 1e-6
 
 
+@pytest.mark.slow
 def test_df_fast_tier_within_tolerance():
     # the 'fast' tier trades ~2e-5 Eh for a much smaller aux set
     mol = from_atoms(H2O)

@@ -69,6 +69,7 @@ def test_pallas_f32_no_nan_over_extreme_inputs():
             assert np.isfinite(a).all(), fn.name
 
 
+@pytest.mark.slow
 def test_mixed_delta_scf_matches_f64(monkeypatch):
     """End-to-end 'mixed' SCF (Pallas phase -> delta-refinement tail)
     through the interpreter: the delta-mode plumbing (anchored Vxc/E_xc
@@ -86,6 +87,7 @@ def test_mixed_delta_scf_matches_f64(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_mixed_delta_scf_incore_hybrid(monkeypatch):
     """The delta tail with an IN-CORE hybrid (sys.eri present): the K
     anchor must be built there too -- caught live on TPU as

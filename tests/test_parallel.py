@@ -69,6 +69,7 @@ def test_sharded_jk_match_single_device(setup):
     assert float(jnp.abs(k_sh - k_ref).max()) < 1e-11
 
 
+@pytest.mark.slow
 def test_sharded_df_jk_match_single_device():
     """Aux-sharded DF J/K == single-device DF J/K (same tensors, same
     metric factorization) to near roundoff."""
@@ -87,6 +88,7 @@ def test_sharded_df_jk_match_single_device():
     assert float(jnp.abs(k_sh - k_ref).max()) < 1e-10
 
 
+@pytest.mark.slow
 def test_sharded_df_scf_step_matches_single_device():
     """One full sharded DF-B3LYP SCF cycle == the single-device DF cycle
     to 1e-10 (VERDICT round-1 item 2)."""
@@ -155,6 +157,7 @@ def test_sharded_df_scf_step_matches_single_device():
     assert abs(e_sh_sc - float(e_ref_sc.e_tot)) < 1e-10
 
 
+@pytest.mark.slow
 def test_sharded_ri_jk_match_single_device():
     """The even-tempered RI branch (explicit fitting metric, all_gather +
     V^+ solve) stays covered now that density_fit=True defaults to the
@@ -181,6 +184,7 @@ def test_sharded_ri_jk_match_single_device():
     assert float(jnp.abs(k_sh - k_ref).max()) < 2e-9
 
 
+@pytest.mark.slow
 def test_sharded_scf_step_purification_forced(monkeypatch):
     """The sharded step shares the single-chip TPU numerics recovery:
     with DFT_FORCE_SIGN_DENSITY=1 (purification-forced CPU run) the

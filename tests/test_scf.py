@@ -66,6 +66,7 @@ def test_energy_decomposition_sums(h2o_setups):
     assert abs(total - res.e_tot) < 1e-10
 
 
+@pytest.mark.slow
 def test_grid_insensitivity_lda():
     # energies should move < 1e-4 between level 2 and level 3
     mol = from_atoms(H2O)
