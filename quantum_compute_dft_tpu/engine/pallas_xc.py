@@ -84,14 +84,35 @@ _NT = (((1,), (1,)), ((), ()))  # dot_general: contract last dim of both
 
 def _make_kernel(functional: Functional, npad: int):
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     H = jax.lax.Precision.HIGHEST
 
     def mm(a, b):
+        # skinny row-reductions: HIGHEST (exact f32), MXU cost negligible
         return jnp.dot(a, b, preferred_element_type=f32, precision=H)
 
-    def nt(a, b):
-        return jax.lax.dot_general(a, b, _NT, preferred_element_type=f32,
-                                   precision=H)
+    # The two BIG matmuls (phi_D and the V accumulation, 2*npad^2*tile
+    # FLOPs each) use a manual 3-pass bf16 split (a_hi@b_hi + a_hi@b_lo +
+    # a_lo@b_hi ~ f32-quality products): Mosaic only offers DEFAULT
+    # (1-pass bf16, too coarse for densities) and HIGHEST (6-pass exact
+    # f32) -- the split halves the dominant MXU time at DHA shape.
+    def split(x):
+        hi = x.astype(bf16)
+        lo = (x - hi.astype(f32)).astype(bf16)
+        return hi, lo
+
+    def d1(x, y):
+        return jnp.dot(x, y, preferred_element_type=f32)
+
+    def mm3(ah, al, bh, bl):
+        return d1(ah, bh) + d1(ah, bl) + d1(al, bh)
+
+    def nt1(x, y):
+        return jax.lax.dot_general(x, y, _NT, preferred_element_type=f32)
+
+    def nt3(ah, al, b):
+        bh, bl = split(b)
+        return nt1(ah, bh) + nt1(ah, bl) + nt1(al, bh)
 
     if functional.needs_grad:
 
@@ -107,21 +128,33 @@ def _make_kernel(functional: Functional, npad: int):
             aot = ao_ref[:, :]          # (npad, tile)
             wt = w_ref[:, :]            # (1, tile)
             ones_row = ones_ref[:, :]   # (1, npad)
-            phi_d = mm(dm_ref[:, :], aot)            # (npad, tile) MXU
+            aoh, aol = split(aot)       # shared by phi_D and the V matmul
+            dmh, dml = split(dm_ref[:, :])
+            phi_d = mm3(dmh, dml, aoh, aol)          # (npad, tile) MXU
             rho = mm(ones_row, phi_d * aot)          # (1, tile)
             gx, gy, gz = gx_ref[:, :], gy_ref[:, :], gz_ref[:, :]
             grx = 2.0 * mm(ones_row, gx * phi_d)
             gry = 2.0 * mm(ones_row, gy * phi_d)
             grz = 2.0 * mm(ones_row, gz * phi_d)
             sigma = grx * grx + gry * gry + grz * grz
-            e, vrho, vsigma = _functional_eval(functional, rho, sigma)
+            # evaluate the ~400-op autodiff functional on (8, tile/8)
+            # subtiles: a (1, tile) row occupies tile/128 VPU registers at
+            # 1/8 sublane utilization; reshaped, the same work runs on
+            # 8x denser registers (two cheap relayouts per quantity)
+            t8 = aot.shape[1] // 8
+            e8, vr8, vs8 = _functional_eval(
+                functional, rho.reshape(8, t8), sigma.reshape(8, t8)
+            )
+            e = e8.reshape(1, -1)
+            vrho = vr8.reshape(1, -1)
+            vsigma = vs8.reshape(1, -1)
             e_ref[:, :] += jnp.broadcast_to(
                 mm(wt * e, jnp.ones((aot.shape[1], 128), f32)), (8, 128)
             )
             # (1, tile) rows sublane-broadcast against (npad, tile) planes
             gdot = grx * gx + gry * gy + grz * gz
             bt = wt * (vrho * aot + 2.0 * vsigma * gdot)
-            v_ref[:, :] += nt(aot, bt)               # (npad, npad) MXU
+            v_ref[:, :] += nt3(aoh, aol, bt)         # (npad, npad) MXU
 
     else:
 
@@ -136,14 +169,21 @@ def _make_kernel(functional: Functional, npad: int):
             aot = ao_ref[:, :]
             wt = w_ref[:, :]
             ones_row = ones_ref[:, :]
-            phi_d = mm(dm_ref[:, :], aot)
+            aoh, aol = split(aot)
+            dmh, dml = split(dm_ref[:, :])
+            phi_d = mm3(dmh, dml, aoh, aol)
             rho = mm(ones_row, phi_d * aot)
-            e, vrho, _ = _functional_eval(functional, rho, None)
+            t8 = aot.shape[1] // 8  # subtiled eval: see the GGA branch
+            e8, vr8, _ = _functional_eval(
+                functional, rho.reshape(8, t8), None
+            )
+            e = e8.reshape(1, -1)
+            vrho = vr8.reshape(1, -1)
             e_ref[:, :] += jnp.broadcast_to(
                 mm(wt * e, jnp.ones((aot.shape[1], 128), f32)), (8, 128)
             )
             bt = (wt * vrho) * aot
-            v_ref[:, :] += nt(aot, bt)
+            v_ref[:, :] += nt3(aoh, aol, bt)
 
     return kernel
 
