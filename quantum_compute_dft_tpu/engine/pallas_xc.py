@@ -91,11 +91,12 @@ def _make_kernel(functional: Functional, npad: int):
         # skinny row-reductions: HIGHEST (exact f32), MXU cost negligible
         return jnp.dot(a, b, preferred_element_type=f32, precision=H)
 
-    # The two BIG matmuls (phi_D and the V accumulation, 2*npad^2*tile
-    # FLOPs each) use a manual 3-pass bf16 split (a_hi@b_hi + a_hi@b_lo +
-    # a_lo@b_hi ~ f32-quality products): Mosaic only offers DEFAULT
-    # (1-pass bf16, too coarse for densities) and HIGHEST (6-pass exact
-    # f32) -- the split halves the dominant MXU time at DHA shape.
+    # The V-accumulation matmul (2*npad^2*tile FLOPs) uses a manual
+    # 3-pass bf16 split (a_hi@b_hi + a_hi@b_lo + a_lo@b_hi ~ f32-quality
+    # products): Mosaic only offers DEFAULT (1-pass bf16, too coarse) and
+    # HIGHEST (6-pass exact f32) -- the split halves that matmul's MXU
+    # time.  phi_D stays HIGHEST: its error feeds the density and was
+    # measured to cost SCF cycles (benzene 25 -> 31 with split phi_D).
     def split(x):
         hi = x.astype(bf16)
         lo = (x - hi.astype(f32)).astype(bf16)
@@ -103,9 +104,6 @@ def _make_kernel(functional: Functional, npad: int):
 
     def d1(x, y):
         return jnp.dot(x, y, preferred_element_type=f32)
-
-    def mm3(ah, al, bh, bl):
-        return d1(ah, bh) + d1(ah, bl) + d1(al, bh)
 
     def nt1(x, y):
         return jax.lax.dot_general(x, y, _NT, preferred_element_type=f32)
@@ -128,9 +126,12 @@ def _make_kernel(functional: Functional, npad: int):
             aot = ao_ref[:, :]          # (npad, tile)
             wt = w_ref[:, :]            # (1, tile)
             ones_row = ones_ref[:, :]   # (1, npad)
-            aoh, aol = split(aot)       # shared by phi_D and the V matmul
-            dmh, dml = split(dm_ref[:, :])
-            phi_d = mm3(dmh, dml, aoh, aol)          # (npad, tile) MXU
+            aoh, aol = split(aot)       # for the V-accumulation matmul
+            # phi_D stays exact-f32 (HIGHEST): its error enters the
+            # density itself and measurably costs SCF cycles; the V
+            # accumulation tolerates 3-pass products (Fock perturbation
+            # ~1e-7, absorbed by DIIS)
+            phi_d = mm(dm_ref[:, :], aot)            # (npad, tile) MXU
             rho = mm(ones_row, phi_d * aot)          # (1, tile)
             gx, gy, gz = gx_ref[:, :], gy_ref[:, :], gz_ref[:, :]
             grx = 2.0 * mm(ones_row, gx * phi_d)
@@ -169,9 +170,8 @@ def _make_kernel(functional: Functional, npad: int):
             aot = ao_ref[:, :]
             wt = w_ref[:, :]
             ones_row = ones_ref[:, :]
-            aoh, aol = split(aot)
-            dmh, dml = split(dm_ref[:, :])
-            phi_d = mm3(dmh, dml, aoh, aol)
+            aoh, aol = split(aot)  # for the V matmul; see the GGA branch
+            phi_d = mm(dm_ref[:, :], aot)
             rho = mm(ones_row, phi_d * aot)
             t8 = aot.shape[1] // 8  # subtiled eval: see the GGA branch
             e8, vr8, _ = _functional_eval(

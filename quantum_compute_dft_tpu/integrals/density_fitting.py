@@ -343,7 +343,10 @@ def make_df_builders(j3c, v2c, build_k: bool = True, k_dtype: str | None = None)
                 return _df_exchange_f64(j3c_dev, dm)
 
             return coulomb, exchange, j3c_dev
-        b32 = jnp.asarray(np.asarray(j3c, dtype=np.float32))
+        # cast on DEVICE: j3c may already be device-resident (prepare
+        # uploads it once); a host-side cast would round-trip ~240 MB
+        # over the ~10 MB/s TPU tunnel relay
+        b32 = j3c_dev.astype(jnp.float32)
 
         def exchange(dm):
             return _df_exchange(b32, dm)

@@ -121,7 +121,15 @@ def prepare(
         else:
             j3c, v2c = df_tensors(basis, mol, aux_level=df_aux)
         _tick("df_factorization")
-        df_j, df_k, _ = make_df_builders(j3c, v2c, build_k=fn.hyb_coeff != 0.0)
+        # upload the (possibly ~240 MB at DHA scale) factor ONCE; both
+        # builder variants below then reuse the device-resident array
+        # (jnp.asarray of a device array is a no-op) instead of paying
+        # the ~10 MB/s tunnel relay per make_df_builders call
+        import jax.numpy as jnp
+
+        j3c_dev = jnp.asarray(j3c) if j3c is not None else None
+        df_j, df_k, _ = make_df_builders(j3c_dev, v2c,
+                                         build_k=fn.hyb_coeff != 0.0)
         # high-precision K for the f64 parity tail of the mixed SCF: when
         # the fast exchange auto-selected f32 (DHA scale), keep an f64
         # variant too -- in Cholesky mode it costs nothing to build
@@ -134,7 +142,7 @@ def prepare(
 
             if _auto_k_dtype(j3c.shape[0], j3c.shape[2]) != "float64":
                 _, df_k_hi, _ = make_df_builders(
-                    j3c, v2c, build_k=True, k_dtype="float64"
+                    j3c_dev, v2c, build_k=True, k_dtype="float64"
                 )
     else:
         hit = setup_cache.load("eri", ck, ("eri",)) if basis.nao <= 80 else None

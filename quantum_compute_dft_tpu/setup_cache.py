@@ -68,7 +68,9 @@ def store(kind: str, key: str, **arrays) -> None:
     if d is None:
         return
     path = os.path.join(d, f"{kind}_{key}.npz")
-    tmp = path + ".tmp"
+    # np.savez appends '.npz' when the name lacks it -- make the tmp name
+    # explicit so the atomic rename actually finds the file it wrote
+    tmp = path + ".tmp.npz"
     try:
         np.savez(tmp, **arrays)
         os.replace(tmp, path)
