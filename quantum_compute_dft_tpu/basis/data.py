@@ -258,9 +258,24 @@ _HEAVY: dict[str, dict[str, tuple[float, str]]] = {
 }
 ZETA.update(_HEAVY)
 
+# Variationally optimized zetas (basis/zeta_optimized.py, generated by
+# tools/apply_optimized_zetas.py from atomic_scf.optimize_zetas runs):
+# they replace the 'atomic'/'estimated' entries with energy-minimized
+# values derived by the same procedure as the published tables.
+_O = "optimized"
+try:
+    from quantum_compute_dft_tpu.basis.zeta_optimized import OPTIMIZED
+
+    for _sym, _shells in OPTIMIZED.items():
+        for _sh, _z in _shells.items():
+            ZETA[_sym][_sh] = (_z, _O)
+except ImportError:
+    pass
+
+
 def provenance(symbol: str) -> str:
     """Worst provenance tier across an element's shells:
-    'canonical' > 'atomic' > 'estimated'."""
+    'canonical' > 'optimized' > 'atomic' > 'estimated'."""
     try:
         from quantum_compute_dft_tpu.basis.sto3g_override import SHELLS
 
@@ -268,7 +283,7 @@ def provenance(symbol: str) -> str:
             return _C
     except ImportError:
         pass
-    order = {_C: 0, _A: 1, _E: 2}
+    order = {_C: 0, _O: 1, _A: 2, _E: 3}
     worst = _C
     for _, prov in ZETA[symbol].values():
         if order[prov] > order[worst]:

@@ -47,19 +47,28 @@ DAMP_RATIO = 0.9
 # Level shifting: the tested convergence control for SCFs that stall or
 # charge-slosh below the damping guard's radius (observed: HeH/LDA, a
 # fractional-occupation doublet, approaches its fixed point then blows up
-# when DIIS extrapolates across a level crossing at ||dD|| ~ 1e-3).  When
+# when DIIS extrapolates across a level crossing at ||dD|| ~ 1e-3; and
+# CuO/B3LYP, a d-shell doublet that charge-sloshes indefinitely).  When
 # ||dD|| fails to improve by 10% for SHIFT_STALL consecutive cycles, a
 # CONSTANT virtual-orbital shift F <- F + sigma (S - 1/2 S D S) engages
-# (and the DIIS history resets -- its unshifted iterates no longer match).
-# The shift leaves the SCF fixed point unchanged -- it only moves virtual
-# orbitals up by sigma, separating the states whose crossing drives the
-# oscillation -- so converged energies are identical; it is never decayed
-# (a decaying shift re-opens the crossing: measured on HeH, decay fails,
-# constant 0.5 converges in 64 cycles).  Escalates x2 on repeated stalls.
+# (and the DIIS history resets -- its unshifted iterates no longer
+# match).  The shift leaves the SCF fixed point unchanged -- it only
+# moves virtuals up by sigma, separating the states whose crossing drives
+# the oscillation -- so converged energies are identical.
+#
+# Once ENGAGED, the rules change (measured on CuO/B3LYP, which crawls
+# smoothly downhill under the shift at <10%/cycle): DIIS must be left
+# alone to accelerate the crawl, so escalation (x2 + DIIS reset) fires
+# only on true NO-progress (no new ||dD|| best for SHIFT_STALL cycles) --
+# the round-2 controller reset DIIS every 8 cycles of a converging
+# trajectory and CuO never finished.  When ||dD|| drops below
+# SHIFT_RELEASE the shift releases (sigma = 0, fresh DIIS) for the plain
+# DIIS endgame; a recurring stall re-engages at the same sigma.
 LEVEL_SHIFT = 0.5       # Eh; initial sigma
 LEVEL_SHIFT_MAX = 4.0
 SHIFT_STALL = 8         # non-improving cycles before (re-)engaging
 SHIFT_MIN_DNORM = 1e-4  # below this DIIS is polishing; never engage
+SHIFT_RELEASE = 1e-3    # engaged + ||dD|| below this -> hand back to DIIS
 
 
 def _level_shift(f, dm, s, shift):
@@ -74,21 +83,42 @@ class _ShiftController:
     def __init__(self, nao: int):
         self.nao = nao
         self.shift = 0.0
+        self._sigma = LEVEL_SHIFT  # (re-)engage magnitude
         self._dn_best = float("inf")
         self._stall = 0
         self.engaged_at = None  # cycle index, for tests/logs
 
     def update(self, cycle: int, dnorm: float):
         """Feed one cycle's ||dD||; returns a fresh DIIS state when the
-        shift (re-)engages (the caller must reset its history), else None."""
+        shift engages/escalates/releases (the caller must reset its
+        history), else None."""
+        if self.shift > 0.0:
+            if dnorm < SHIFT_RELEASE:
+                self.shift = 0.0
+                self._stall = 0
+                self._dn_best = dnorm
+                return diis_init(self.nao)
+            # escalate only on true no-progress; a slow smooth descent
+            # must keep its DIIS history
+            if dnorm < self._dn_best:
+                self._dn_best = dnorm
+                self._stall = 0
+                return None
+            self._stall += 1
+            if self._stall >= SHIFT_STALL:
+                self._sigma = min(2.0 * self._sigma, LEVEL_SHIFT_MAX)
+                self.shift = self._sigma
+                self._stall = 0
+                self._dn_best = float("inf")
+                return diis_init(self.nao)
+            return None
         if dnorm < 0.9 * self._dn_best:
             self._dn_best = dnorm
             self._stall = 0
             return None
         self._stall += 1
         if self._stall >= SHIFT_STALL and dnorm > SHIFT_MIN_DNORM:
-            self.shift = (LEVEL_SHIFT if self.shift == 0.0
-                          else min(2.0 * self.shift, LEVEL_SHIFT_MAX))
+            self.shift = self._sigma
             if self.engaged_at is None:
                 self.engaged_at = cycle
             self._stall = 0

@@ -1,0 +1,68 @@
+"""Write basis/zeta_optimized.py from an optimizer results JSON.
+
+Input: the JSON produced by the round-3 heavy-element run of
+basis/atomic_scf.optimize_zetas (one entry per element:
+{"zetas": {shell: zeta}, "e_opt": .., "e_table": .., "frozen": shell}).
+Shells listed in "frozen" were held at their molecular-convention table
+values and are NOT emitted (they keep their original provenance).
+
+Usage: python tools/apply_optimized_zetas.py /tmp/opt_heavy.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HEADER = '''"""Variationally optimized STO-3G zetas for Z = 21-54 (GENERATED).
+
+Produced by tools/apply_optimized_zetas.py from a run of
+basis/atomic_scf.optimize_zetas: spherically-averaged spin-resolved
+atomic-HF energy minimization over each element's shell zetas -- the
+derivation procedure behind the published STO-3G tables, re-executed
+because the canonical numeric tables for Z = 21-54 are unobtainable in
+this offline environment (no PySCF, zero egress; see VERDICT r2 item 2).
+Validation: the same optimizer run on canonical elements lands within
+~1% (O: 1s 7.694 / 2sp 2.226 vs published 7.66 / 2.25).
+
+Metal valence shells (e.g. Cu 4sp, Mo 5sp) are NOT optimized -- free-atom
+minimization gives diffuse exponents that are wrong in molecules (cf. Na
+3sp: best-atom 0.84 vs published molecular 1.75); they keep the
+molecular-convention table values in basis/data.py.
+
+Provenance tier: 'optimized' -- physically derived, same procedure as
+canonical, but NOT the published numbers; sub-1e-6 Eh parity with
+reference sto-3g runs remains unclaimable for these elements.
+"""
+
+'''
+
+
+def main(path: str) -> int:
+    with open(path) as f:
+        data = json.load(f)
+    out = {}
+    for sym, row in data.items():
+        if "error" in row:
+            print(f"skip {sym}: {row['error']}")
+            continue
+        frozen = row.get("frozen")
+        zetas = {sh: z for sh, z in row["zetas"].items() if sh != frozen}
+        out[sym] = zetas
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "quantum_compute_dft_tpu", "basis", "zeta_optimized.py",
+    )
+    with open(dst, "w") as f:
+        f.write(HEADER)
+        f.write("OPTIMIZED: dict[str, dict[str, float]] = {\n")
+        for sym in sorted(out):
+            f.write(f"    {sym!r}: {out[sym]!r},\n")
+        f.write("}\n")
+    print(f"wrote {dst} ({len(out)} elements)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/opt_heavy.json"))

@@ -30,6 +30,14 @@ MOLECULES = [
     "HCl", "H2S", "NaCl", "NaOH", "Methanol", "Formaldehyde",
     "Acetaldehyde", "acetic-acid",
 ]
+# heavy/d-shell molecules (VERDICT r2 item 3): Ca rows are canonical-basis;
+# the rest carry 'optimized' zetas (basis/zeta_optimized.py) -- their rows
+# pin regression, not literature parity
+HEAVY_MOLECULES = [
+    "CaCO3", "Ca3P2", "CuO", "HBr", "Bromoform", "H2Se", "SeO3",
+    "H2SeO4", "Arsenic_trioxide", "Methyl_iodide",
+    "Molybdenum_hexafluoride",
+]
 FUNCTIONALS = ["LDA", "GGA", "B3LYP"]
 
 
@@ -42,14 +50,23 @@ def main() -> int:
     from quantum_compute_dft_tpu.mol import from_xyz_file
     from quantum_compute_dft_tpu.scf.driver import scf_host
 
+    import warnings
+
+    from quantum_compute_dft_tpu.basis.data import provenance
+
+    only = sys.argv[2] if len(sys.argv) > 2 else None  # e.g. 'heavy'
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = []
-    for name in MOLECULES:
+    todo = {"canonical": MOLECULES, "heavy": HEAVY_MOLECULES}
+    for name in (todo[only] if only else MOLECULES + HEAVY_MOLECULES):
         path = os.path.join(here, "molecules", name + ".xyz")
         mol = from_xyz_file(path)
+        prov = sorted({provenance(s) for s in mol.symbols})
         for fn in FUNCTIONALS:
             t0 = time.time()
-            setup = kohn_sham.prepare(mol, fn, grid_level=3)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                setup = kohn_sham.prepare(mol, fn, grid_level=3)
             r = scf_host(setup.sys, setup.functional)
             rows.append({
                 "molecule": name,
@@ -60,11 +77,18 @@ def main() -> int:
                 "converged": bool(r.converged),
                 "n_iter": r.n_iter,
                 "density_fit": setup.sys.eri is None,
+                "basis_provenance": prov,
                 "de_vs_pyscf": None,  # reserved: fill where PySCF exists
             })
             print(f"{name:14s} {fn:6s} E={r.e_tot:.8f} "
                   f"({'ok' if r.converged else 'UNCONVERGED'}, "
                   f"{r.n_iter} it, {time.time()-t0:.0f}s)", flush=True)
+    if only and os.path.exists(out_path):
+        # subset regeneration: keep the other molecules' existing rows
+        with open(out_path) as f:
+            old = json.load(f)["rows"]
+        done = {r["molecule"] for r in rows}
+        rows = [r for r in old if r["molecule"] not in done] + rows
     with open(out_path, "w") as f:
         json.dump({"generator": "tools/gen_golden.py",
                    "tolerance": 1e-7, "rows": rows}, f, indent=1)
