@@ -80,3 +80,74 @@ def diis_update(state: DIISState, f, dm, s, x):
     # with a single stored matrix, extrapolation is the identity
     f_out = jnp.where(nused > 1, f_ext, f)
     return DIISState(f_buf, e_buf, nsaved), f_out
+
+
+# ---------------------------------------------------------------------------
+# ADIIS (Hu & Yang, JCP 132, 054109 (2010)): energy-based DIIS for the
+# far-from-convergence phase.  CDIIS extrapolates the Fock COMMUTATOR,
+# which happily mixes iterates from different electronic configurations
+# -- on near-degenerate systems (CuO's open d/pi manifold) that produces
+# a permanent charge-slosh limit cycle.  ADIIS instead minimizes a
+# quadratic model of the ENERGY over the convex hull of the stored
+# iterates:  E(c) ~ 2 sum_i c_i <D_i - D_n, F_n>
+#                   + sum_ij c_i c_j <D_i - D_n, F_j - F_n>,
+# c on the simplex -- mixing can only move downhill in the model, which
+# breaks configuration sloshing.  Used while ||FDS-SDF|| is large, then
+# handed over to CDIIS for the quadratic endgame (scf.driver.scf_host).
+# The simplex problem is tiny (M <= 8); it is solved inside jit by
+# projected softmax gradient descent.
+# ---------------------------------------------------------------------------
+
+
+class ADIISState(NamedTuple):
+    f_buf: jnp.ndarray   # (M, nao, nao)
+    d_buf: jnp.ndarray   # (M, nao, nao)
+    nsaved: jnp.ndarray  # scalar int
+
+
+def adiis_init(nao: int, space: int = 8, dtype=jnp.float64) -> ADIISState:
+    return ADIISState(
+        f_buf=jnp.zeros((space, nao, nao), dtype),
+        d_buf=jnp.zeros((space, nao, nao), dtype),
+        nsaved=jnp.array(0, jnp.int32),
+    )
+
+
+@jax.jit
+def adiis_update(state: ADIISState, f, dm):
+    """Insert (F, D) and return the ADIIS-mixed Fock matrix."""
+    m = state.f_buf.shape[0]
+    slot = state.nsaved % m
+    f_buf = state.f_buf.at[slot].set(f)
+    d_buf = state.d_buf.at[slot].set(dm)
+    nsaved = state.nsaved + 1
+    nused = jnp.minimum(nsaved, m)
+    used = (jnp.arange(m) < nused).astype(f.dtype)
+    newest = (nsaved - 1) % m
+
+    d_n = d_buf[newest]
+    f_n = f_buf[newest]
+    dd = d_buf - d_n[None]
+    df = f_buf - f_n[None]
+    g = jnp.einsum("ijk,jk->i", dd, f_n)             # <D_i - D_n, F_n>
+    h = jnp.einsum("ijk,ljk->il", dd, df)            # <D_i - D_n, F_l - F_n>
+    h = 0.5 * (h + h.T)
+    scale = jnp.max(jnp.abs(h)) + jnp.max(jnp.abs(g)) + 1e-300
+
+    neg = -1e30 * (1.0 - used)  # unused slots get zero softmax weight
+
+    def model(t):
+        c = jax.nn.softmax(t + neg)
+        return (2.0 * (c @ g) + c @ (h @ c)) / scale
+
+    grad = jax.grad(model)
+
+    def gd(_, t):
+        return t - 0.2 * grad(t)
+
+    t0 = 4.0 * jnp.zeros(m, f.dtype).at[newest].set(1.0)
+    t = jax.lax.fori_loop(0, 300, gd, t0)
+    c = jax.nn.softmax(t + neg)
+    f_mix = jnp.einsum("i,ijk->jk", c, f_buf)
+    f_out = jnp.where(nused > 1, f_mix, f)
+    return ADIISState(f_buf, d_buf, nsaved), f_out

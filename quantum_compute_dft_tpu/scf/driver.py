@@ -28,7 +28,13 @@ import jax.numpy as jnp
 
 from quantum_compute_dft_tpu.engine.xc_engine import xc_step
 from quantum_compute_dft_tpu.engine.coulomb import coulomb_full, exchange_full
-from quantum_compute_dft_tpu.scf.diis import DIISState, diis_init, diis_update
+from quantum_compute_dft_tpu.scf.diis import (
+    DIISState,
+    adiis_init,
+    adiis_update,
+    diis_init,
+    diis_update,
+)
 from quantum_compute_dft_tpu.xc.functionals import Functional
 
 CONV_TOL_E = 1e-8    # ref dft.py:243
@@ -69,6 +75,7 @@ LEVEL_SHIFT_MAX = 4.0
 SHIFT_STALL = 8         # non-improving cycles before (re-)engaging
 SHIFT_MIN_DNORM = 1e-4  # below this DIIS is polishing; never engage
 SHIFT_RELEASE = 1e-3    # engaged + ||dD|| below this -> hand back to DIIS
+ADIIS_TO_CDIIS = 1e-2   # mixer='adiis+cdiis': ADIIS -> CDIIS handover
 
 
 def _level_shift(f, dm, s, shift):
@@ -248,6 +255,36 @@ def _sign_projector(fp, w, n, eye):
     return p, gap
 
 
+def _fermi_density(x, f, nelec: float, kt: float):
+    """Fermi-smeared density (FON-RKS): occupations 2/(1+exp((e-mu)/kT))
+    with mu bisected so they sum to nelec.  The production treatment for
+    near-degenerate frontier manifolds (e.g. CuO's open d/pi shell, which
+    flip-flops its integer-occupation HOMO forever -- no level shift
+    converges it; smearing does).  The reference has no counterpart (it
+    crashes on every odd-electron system, ref grid.py:45)."""
+    fp = x.T @ f @ x
+    w, cp = jnp.linalg.eigh(fp)
+    c = x @ cp
+
+    def occ_sum(mu):
+        return jnp.sum(2.0 / (1.0 + jnp.exp((w - mu) / kt)))
+
+    lo = w[0] - 10.0 * kt
+    hi = w[-1] + 10.0 * kt
+
+    def bisect(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        too_many = occ_sum(mid) > nelec
+        return (jnp.where(too_many, lo, mid), jnp.where(too_many, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, 80, bisect, (lo, hi))
+    mu = 0.5 * (lo + hi)
+    occ = 2.0 / (1.0 + jnp.exp((w - mu) / kt))
+    occ = occ * (nelec / jnp.sum(occ))  # exact electron count
+    return (c * occ) @ c.T
+
+
 def _density(x, f, nocc, nopen: int = 0):
     """Solve F C = S C e via the orthogonal basis; D = 2 C_occ C_occ^T
     (+ the singly-occupied HOMO for odd-electron systems, nopen=1 --
@@ -326,11 +363,16 @@ def _build_k(sys: SCFSystem, dm, hi: bool = False):
     return fn(dm)
 
 
-@functools.partial(jax.jit, static_argnames=("sys", "functional"))
-def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
-                  shift=0.0):
+@functools.partial(jax.jit,
+                   static_argnames=("sys", "functional", "smear_kt",
+                                    "mixer"))
+def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis,
+                  shift=0.0, smear_kt: float = 0.0, mixer: str = "cdiis"):
     """One SCF cycle: returns (dm_new, diis, EnergyBreakdown, E_xc parts).
-    `shift` is the level-shift sigma (traced scalar; 0 = off)."""
+    `shift` is the level-shift sigma (traced scalar; 0 = off);
+    `smear_kt` > 0 switches to Fermi-smeared occupations (FON-RKS);
+    `mixer` selects CDIIS (default) or energy-based ADIIS (`diis` must
+    then be an ADIISState)."""
     j = _build_j(sys, dm)
     e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
     c_hf = functional.hyb_coeff
@@ -341,9 +383,15 @@ def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
         k = None
         f = sys.hcore + j + vxc
 
-    diis, f = diis_update(diis, f, dm, sys.s, sys.x)
+    if mixer == "adiis":
+        diis, f = adiis_update(diis, f, dm)
+    else:
+        diis, f = diis_update(diis, f, dm, sys.s, sys.x)
     f = _level_shift(f, dm, sys.s, shift)
-    dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
+    if smear_kt > 0.0:
+        dm_new = _fermi_density(sys.x, f, 2 * sys.nocc + sys.nopen, smear_kt)
+    else:
+        dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
 
     e_one = jnp.sum(dm_new * sys.hcore)
     e_coul = 0.5 * jnp.sum(dm_new * j)
@@ -635,6 +683,29 @@ def scf_host_staged(
                      shift_engaged_at=shiftc.engaged_at)
 
 
+def scf_host_annealed(
+    sys: SCFSystem,
+    functional: Functional,
+    kts: tuple[float, ...] = (0.5, 0.2),
+    **kwargs,
+) -> SCFResult:
+    """FON-RKS annealing ladder: converge at the hottest electronic
+    temperature (always smooth), then re-converge at each colder kT
+    warm-started from the previous density.  The recipe for systems
+    whose integer-occupation SCF has no reachable fixed point (CuO: a
+    d-shell doublet; converges at kT 0.5 -> 0.2, charge-sloshes forever
+    below).  Returns the result at the coldest kT that converged."""
+    best = None
+    dm0 = kwargs.pop("dm0", None)
+    for kt in kts:
+        r = scf_host(sys, functional, smear_kt=kt, dm0=dm0, **kwargs)
+        if not r.converged:
+            break
+        best = r
+        dm0 = r.dm
+    return best if best is not None else r
+
+
 @dataclasses.dataclass
 class SCFResult:
     converged: bool
@@ -656,19 +727,34 @@ def scf_host(
     conv_tol_e: float = CONV_TOL_E,
     conv_tol_d: float = CONV_TOL_D,
     dm0: jnp.ndarray | None = None,
+    smear_kt: float = 0.0,
+    mixer: str = "cdiis",
 ) -> SCFResult:
+    """smear_kt > 0 runs FON-RKS (Fermi-smeared occupations at that
+    electronic temperature in Eh) -- the robust treatment for
+    near-degenerate frontier manifolds; see _fermi_density.
+
+    mixer='adiis+cdiis' starts with energy-based ADIIS (configuration-
+    slosh-proof; see scf.diis) and hands over to CDIIS once ||dD|| drops
+    below ADIIS_TO_CDIIS -- the robust strategy for hard cases like
+    CuO/B3LYP."""
     import numpy as np
 
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
-    diis = diis_init(dm.shape[0])
+    use_adiis = mixer.startswith("adiis")
+    diis = (adiis_init if use_adiis else diis_init)(dm.shape[0])
     shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
     dnorm_prev = float("inf")
     eb = EnergyBreakdown(*(float("nan"),) * 5)  # bound even at max_cycle=0
     e_tot = float("nan")
     for cycle in range(max_cycle):
-        dm_new, diis, eb = scf_iteration(sys, functional, dm, diis,
-                                         shift=shiftc.shift)
+        dm_new, diis, eb = scf_iteration(
+            sys, functional, dm, diis,
+            shift=0.0 if use_adiis else shiftc.shift,
+            smear_kt=smear_kt,
+            mixer="adiis" if use_adiis else "cdiis",
+        )
         # one materialization per cycle (see scf_host_staged)
         stat = np.asarray(jnp.stack(
             [eb.e_tot, jnp.linalg.norm(dm_new - dm),
@@ -683,9 +769,13 @@ def scf_host(
             return SCFResult(True, cycle + 1, dm_new, eb, e_tot,
                              level_shift=shiftc.shift,
                              shift_engaged_at=shiftc.engaged_at)
-        fresh_diis = shiftc.update(cycle, dnorm)
-        if fresh_diis is not None:
-            diis = fresh_diis
+        if use_adiis and dnorm < ADIIS_TO_CDIIS:
+            use_adiis = False
+            diis = diis_init(dm.shape[0])  # CDIIS endgame, fresh history
+        if not use_adiis:
+            fresh_diis = shiftc.update(cycle, dnorm)
+            if fresh_diis is not None:
+                diis = fresh_diis
         if dnorm > DAMP_MIN_DNORM and dnorm >= DAMP_RATIO * dnorm_prev:
             dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above
         dnorm_prev = dnorm

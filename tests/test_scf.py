@@ -138,6 +138,27 @@ def test_level_shift_untouched_on_healthy_scf(h2o_setups):
     assert res.level_shift == 0.0
 
 
+@pytest.mark.slow
+def test_fermi_smearing_converges_cuo():
+    # CuO/B3LYP: a d-shell doublet whose integer-occupation SCF
+    # charge-sloshes forever under every DIIS/level-shift variant;
+    # FON-RKS (Fermi smearing, scf.driver._fermi_density) converges it.
+    # The reference crashes on CuO outright (spin=0 build, ref grid.py:45).
+    import warnings
+
+    from quantum_compute_dft_tpu.mol import from_xyz_file
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mol = from_xyz_file("molecules/CuO.xyz")
+        s = kohn_sham.prepare(mol, "B3LYP", grid_level=2)
+    from quantum_compute_dft_tpu.scf.driver import scf_host_annealed
+
+    res = scf_host_annealed(s.sys, s.functional)  # kT 0.5 -> 0.2 ladder
+    assert res.converged
+    assert -1700.0 < res.e_tot < -1690.0
+
+
 def test_cli_end_to_end(capsys, tmp_path):
     from quantum_compute_dft_tpu.cli import main
 

@@ -68,6 +68,21 @@ def main() -> int:
                 warnings.simplefilter("ignore", RuntimeWarning)
                 setup = kohn_sham.prepare(mol, fn, grid_level=3)
             r = scf_host(setup.sys, setup.functional)
+            smear = 0.0
+            if not r.converged:
+                # hard-case fallback: FON-RKS annealing ladder (Fermi
+                # smearing, kT 0.5 -> 0.2 warm-started) -- needed for
+                # near-degenerate open-shell systems (CuO) that no
+                # DIIS/shift variant converges with integer occupations.
+                # The reference crashes on these outright.
+                from quantum_compute_dft_tpu.scf.driver import (
+                    scf_host_annealed,
+                )
+
+                r2 = scf_host_annealed(setup.sys, setup.functional)
+                if r2.converged:
+                    r = r2
+                    smear = 0.2
             rows.append({
                 "molecule": name,
                 "functional": fn,
@@ -78,11 +93,13 @@ def main() -> int:
                 "n_iter": r.n_iter,
                 "density_fit": setup.sys.eri is None,
                 "basis_provenance": prov,
+                "smear_kt": smear,
                 "de_vs_pyscf": None,  # reserved: fill where PySCF exists
             })
             print(f"{name:14s} {fn:6s} E={r.e_tot:.8f} "
                   f"({'ok' if r.converged else 'UNCONVERGED'}, "
-                  f"{r.n_iter} it, {time.time()-t0:.0f}s)", flush=True)
+                  f"{r.n_iter} it, kT={smear}, {time.time()-t0:.0f}s)",
+                  flush=True)
     if only and os.path.exists(out_path):
         # subset regeneration: keep the other molecules' existing rows
         with open(out_path) as f:
