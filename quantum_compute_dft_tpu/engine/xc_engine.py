@@ -30,26 +30,40 @@ import jax.numpy as jnp
 from quantum_compute_dft_tpu.xc.functionals import Functional
 
 
-def _xc_block(functional: Functional, dm, ao, weights, ao_grad):
-    """(E_xc, V_half) contribution of one grid block."""
-    phi_d = ao @ dm                                   # (g, nao)
-    rho = jnp.einsum("gi,gi->g", phi_d, ao)
+_NT = (((1,), (1,)), ((), ()))  # dot_general: contract last dim of both
+
+
+def _xc_block(functional: Functional, dm, aot, wt, grt):
+    """(E_xc, V_half) contribution of one grid block -- TRANSPOSED
+    (nao, g) layout.
+
+    Measured on v5e (benzene GGA, f64): the original (g, nao) layout ran
+    the elementwise/reduction einsums at ~0.6 GFLOP/s-f64 -- nao=36 of
+    128 lanes used, plus cross-lane reductions -- for 101 ms/call, while
+    f64 matmuls hit 18 GFLOP/s.  Transposed, everything elementwise
+    vectorizes along the packed grid axis and the AO-axis reductions are
+    sublane sums: 23.7 ms/call (4.3x), identical results to 2e-11."""
+    phi_d = dm @ aot                               # (nao, g) f64 matmul
+    rho = jnp.sum(phi_d * aot, axis=0)             # (g,)
 
     if functional.needs_grad:
         # grad rho_k = 2 sum_uv D_uv dphi_u/dk phi_v  (D symmetric)
-        grad_rho = 2.0 * jnp.einsum("kgi,gi->kg", ao_grad, phi_d)  # (3, g)
-        sigma = jnp.einsum("kg,kg->g", grad_rho, grad_rho)
+        grad_rho = 2.0 * jnp.einsum("kng,ng->kg", grt, phi_d)  # (3, g)
+        sigma = jnp.sum(grad_rho * grad_rho, axis=0)
         e, vrho, vsigma = functional.exc_vxc(rho, sigma)
-        exc = weights @ e
+        exc = wt @ e
         # B_gi = w (vrho phi_i + 2 vsigma grad-rho . grad-phi_i)
-        gdot = jnp.einsum("kg,kgi->gi", grad_rho, ao_grad)
-        b = weights[:, None] * (vrho[:, None] * ao + 2.0 * vsigma[:, None] * gdot)
+        gdot = jnp.einsum("kg,kng->ng", grad_rho, grt)
+        bt = wt[None, :] * (
+            vrho[None, :] * aot + 2.0 * vsigma[None, :] * gdot
+        )
     else:
         e, vrho, _ = functional.exc_vxc(rho)
-        exc = weights @ e
-        b = (weights * vrho)[:, None] * ao
+        exc = wt @ e
+        bt = (wt * vrho)[None, :] * aot
 
-    return exc, ao.T @ b                              # MXU GEMM (nao x nao)
+    # contract the shared grid axis of two (nao, g) operands (MXU GEMM)
+    return exc, jax.lax.dot_general(aot, bt, _NT)
 
 
 _XC_CHUNK = 32768
@@ -65,22 +79,28 @@ def xc_step(
 ):
     """-> (E_xc scalar, V_xc (nao, nao) symmetric).
 
-    Large grids are processed as a lax.scan over fixed-size grid chunks --
-    the unchunked f64 pipeline materializes multi-GB (3, ngrid, nao)
-    temporaries at DHA scale (measured 20 GB on a 16 GB chip); the scan
-    bounds temporaries to one chunk, exactly like the Pallas tiling."""
+    Inputs transpose to the (nao, g) layout once per call (see
+    _xc_block); large grids are processed as a lax.scan over fixed-size
+    grid chunks -- the unchunked f64 pipeline materializes multi-GB
+    (3, ngrid, nao) temporaries at DHA scale (measured 20 GB on a 16 GB
+    chip); the scan bounds temporaries to one chunk, exactly like the
+    Pallas tiling."""
     g, n = ao.shape
+    aot = ao.T
+    grt = None if ao_grad is None else jnp.swapaxes(ao_grad, 1, 2)
     if g <= 2 * _XC_CHUNK:
-        exc, v_half = _xc_block(functional, dm, ao, weights, ao_grad)
+        exc, v_half = _xc_block(functional, dm, aot, weights, grt)
         return exc, 0.5 * (v_half + v_half.T)
 
     c = _XC_CHUNK
     pad = (-g) % c
-    ao_p = jnp.pad(ao, ((0, pad), (0, 0))).reshape(-1, c, n)
+    ao_p = jnp.pad(aot, ((0, 0), (0, pad))).reshape(n, -1, c)
+    ao_p = jnp.moveaxis(ao_p, 1, 0)                       # (nc, nao, c)
     w_p = jnp.pad(weights, (0, pad)).reshape(-1, c)
     if functional.needs_grad:
-        g_p = jnp.pad(ao_grad, ((0, 0), (0, pad), (0, 0)))
-        g_p = g_p.reshape(3, -1, c, n).transpose(1, 0, 2, 3)  # (nc, 3, c, n)
+        g_p = jnp.pad(grt, ((0, 0), (0, 0), (0, pad)))
+        g_p = g_p.reshape(3, n, -1, c)
+        g_p = jnp.moveaxis(g_p, 2, 0)                     # (nc, 3, nao, c)
     else:
         g_p = jnp.zeros((ao_p.shape[0], 0))
 
