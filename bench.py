@@ -154,16 +154,22 @@ def main() -> int:
     else:
         xc_fn = xc_step
 
-    def _time_xc(fn, reps):
-        exc, vxc = fn(setup.functional, dm, sys_dev.ao, sys_dev.weights,
-                      sys_dev.ao_grad)
-        jax.block_until_ready(vxc)
+    def _time_xc(fn, reps, functional=None, dmx=None, args=None):
+        """block_until_ready is a NO-OP on axon arrays (verify skill);
+        the only real sync is materialization, so all reps chain into one
+        scalar fetched once, minus the ~33 ms round-trip."""
+        functional = functional or setup.functional
+        dmx = dmx if dmx is not None else dm
+        args = args or (sys_dev.ao, sys_dev.weights, sys_dev.ao_grad)
+        exc, vxc = fn(functional, dmx, *args)
+        _ = float(exc)
         t0 = time.time()
-        for _ in range(reps):
-            exc, vxc = fn(setup.functional, dm, sys_dev.ao, sys_dev.weights,
-                          sys_dev.ao_grad)
-        jax.block_until_ready(vxc)
-        return (time.time() - t0) / reps * 1000.0
+        tot = None
+        for _i in range(reps):
+            exc, vxc = fn(functional, dmx, *args)
+            tot = exc if tot is None else tot + exc
+        _ = float(tot)
+        return max(time.time() - t0 - 0.033, 1e-9) / reps * 1000.0
 
     xc_ms = _time_xc(xc_fn, 20)
 
@@ -209,9 +215,50 @@ def main() -> int:
         extra["pallas_mfu_packed"] = round(
             flops / (packed_ms / 1000.0) / 1e9 / (_peak_tflops() * 1e3), 4
         )
+        # honest ceiling for this kernel: HBM bandwidth, not the MXU
+        # (BASELINE.md roofline analysis) -- report achieved GB/s too
+        nplanes = 4 if setup.functional.needs_grad else 1
+        npad = (N + 127) // 128 * 128
+        gpad = packed[0].shape[1]
+        mb = nplanes * npad * gpad * 4 / 1e6
+        extra["xc_bw_gbs"] = round(mb / packed_ms, 1)
+        extra["xc_bw_frac_819"] = round(mb / packed_ms / 819.0, 3)
         # the f64 number too, for the parity-path record
         f64_ms = _time_xc(xc_step, 5)
         extra["xc_ms_per_call_f64"] = round(f64_ms, 3)
+
+        # DHA-shape kernel row (VERDICT r2 item 5): the nao=152/pad-256
+        # number is the honest large-molecule one; benzene's nao=36 pads
+        # to 128 and overstates the waste
+        if MOLECULE != "DHA" and os.environ.get("BENCH_DHA_SHAPE", "1") == "1":
+            try:
+                from quantum_compute_dft_tpu.scf.driver import initial_guess
+
+                dha = kohn_sham.prepare(
+                    from_xyz_file(os.path.join(here, "molecules", "DHA.xyz")),
+                    "B3LYP", grid_level=3,
+                )
+                pk = pack_pallas_inputs(dha.sys.ao, dha.sys.weights,
+                                        dha.sys.ao_grad, n_grad=True)
+                dmd = initial_guess(dha.sys)
+                nd = dha.sys.ao.shape[1]
+
+                def _dha_call(functional, dmx, *_):
+                    return xc_step_pallas_packed(functional, dmx, pk[0],
+                                                 pk[1], pk[2], nd)
+
+                dha_ms = _time_xc(_dha_call, 20, functional=dha.functional,
+                                  dmx=dmd, args=(None,))
+                npad_d = (nd + 127) // 128 * 128
+                mb_d = 4 * npad_d * pk[0].shape[1] * 4 / 1e6
+                extra["dha_shape"] = {
+                    "nao": nd,
+                    "xc_ms_per_call_packed": round(dha_ms, 3),
+                    "xc_bw_gbs": round(mb_d / dha_ms, 1),
+                    "xc_bw_frac_819": round(mb_d / dha_ms / 819.0, 3),
+                }
+            except Exception as e:  # keep the headline bench robust
+                extra["dha_shape"] = {"error": f"{type(e).__name__}: {e}"}
 
     vs_baseline = 1.0
     if BASELINE_S:
