@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
         "resume from it",
     )
     p.add_argument(
+        "--smear-kt", type=float, default=0.0,
+        help="FON-RKS Fermi smearing at this electronic temperature (Eh); "
+        "0 = integer occupations.  Use for near-degenerate frontier "
+        "manifolds (e.g. CuO)",
+    )
+    p.add_argument(
         "--validate",
         action="store_true",
         help="Re-solve with PySCF and print the energy difference (needs pyscf)",
@@ -195,6 +201,7 @@ def main(argv=None) -> int:
             conv_tol_e=args.conv_tol_e,
             conv_tol_d=args.conv_tol_d,
             dm0=dm0,
+            smear_kt=args.smear_kt,
         )
         if staged:
             res = scf_host_staged(setup.sys, setup.functional,

@@ -446,9 +446,11 @@ def _fock(hcore, j, vxc, k, c_hf: float):
     return hcore + j + vxc - 0.5 * c_hf * k if c_hf != 0.0 else hcore + j + vxc
 
 
-@functools.partial(jax.jit, static_argnames=("sys", "functional", "delta"))
+@functools.partial(jax.jit, static_argnames=("sys", "functional", "delta",
+                                              "smear_kt"))
 def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
-                packed, base, delta: bool, shift=0.0):
+                packed, base, delta: bool, shift=0.0,
+                smear_kt: float = 0.0):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -460,12 +462,15 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt, grads,
                                            sys.ao.shape[1])
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
-                       base if delta else None, k_hi=delta, shift=shift)
+                       base if delta else None, k_hi=delta, shift=shift,
+                       smear_kt=smear_kt)
 
 
-@functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi"))
+@functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi",
+                                              "smear_kt"))
 def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
-                exc_in, vxc_in, base, k_hi: bool, shift=0.0):
+                exc_in, vxc_in, base, k_hi: bool, shift=0.0,
+                smear_kt: float = 0.0):
     """Everything after the XC build, fused into ONE dispatch: J, K,
     Fock assembly, DIIS, eigensolve/purification, energies, and the
     6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
@@ -496,7 +501,10 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     f = _fock(sys.hcore, j, vxc, k, c_hf)
     diis, f = diis_update(diis, f, dm, sys.s, sys.x)
     f = _level_shift(f, dm, sys.s, shift)
-    dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
+    if smear_kt > 0.0:
+        dm_new = _fermi_density(sys.x, f, 2 * sys.nocc + sys.nopen, smear_kt)
+    else:
+        dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
     dnorm = jnp.linalg.norm(dm_new - dm)
     eb = _energies(dm_new, sys.hcore, j, k, e_xc,
                    jnp.asarray(sys.e_nuc), c_hf)
@@ -522,7 +530,7 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
-                         delta_base=None, shift=0.0):
+                         delta_base=None, shift=0.0, smear_kt: float = 0.0):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -558,7 +566,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         with timer.phase("cycle_" + xc_impl):
             dm_new, diis, stat = _cycle_full(
                 sys, functional, dm, diis, packed, delta_base,
-                delta=xc_impl == "delta", shift=shift,
+                delta=xc_impl == "delta", shift=shift, smear_kt=smear_kt,
             )
             if fence:
                 jax.block_until_ready(stat)
@@ -571,7 +579,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     with timer.phase("cycle_tail"):
         dm_new, diis, stat = _cycle_tail(
             sys, functional, dm, diis, exc_in, vxc_in, None, k_hi=True,
-            shift=shift,
+            shift=shift, smear_kt=smear_kt,
         )
     return dm_new, diis, stat
 
@@ -600,6 +608,7 @@ def scf_host_staged(
     xc_impl: str = "f64",
     mixed_switch_tol: float = 1e-5,
     delta_refresh: int = 50,
+    smear_kt: float = 0.0,
 ) -> SCFResult:
     """xc_impl: 'f64', 'pallas', or 'mixed'.
 
@@ -636,7 +645,7 @@ def scf_host_staged(
             cycles_since_anchor = 0
         dm_new, diis, stat_dev = scf_iteration_staged(
             sys, functional, dm, diis, timer=timer, xc_impl=impl,
-            delta_base=delta_base, shift=shiftc.shift,
+            delta_base=delta_base, shift=shiftc.shift, smear_kt=smear_kt,
         )
         cycles_since_anchor += 1
         # ONE device->host materialization per cycle: each scalar fetch
