@@ -100,10 +100,6 @@ def atomic_energy(
     ZETA table).  Runs entirely on small host matrices."""
     import warnings
 
-    from quantum_compute_dft_tpu.engine.coulomb import (
-        coulomb_full,
-        exchange_full,
-    )
     from quantum_compute_dft_tpu.integrals import eri_full, one_electron
 
     mol = _one_atom(symbol)
@@ -157,9 +153,11 @@ def atomic_energy(
     db = density(h, occ_b)
     e_old = 0.0
     for _ in range(max_cycle):
-        j = np.asarray(coulomb_full(eri, da + db))
-        ka = np.asarray(exchange_full(eri, da))
-        kb = np.asarray(exchange_full(eri, db))
+        # host einsum, not the jitted engine ops: the matrices are tiny
+        # (nao <= 28) and per-cycle device dispatch would dominate
+        j = np.einsum("ijkl,kl->ij", eri, da + db, optimize=True)
+        ka = np.einsum("ikjl,kl->ij", eri, da, optimize=True)
+        kb = np.einsum("ikjl,kl->ij", eri, db, optimize=True)
         fa = h + j - ka
         fb = h + j - kb
         d = da + db
