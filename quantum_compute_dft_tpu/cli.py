@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
         "manifolds (e.g. CuO)",
     )
     p.add_argument(
+        "--no-auto-anneal",
+        action="store_true",
+        help="Disable the automatic FON-RKS annealing-ladder retry when "
+        "the integer-occupation SCF fails to converge (near-degenerate "
+        "systems like CuO, where the reference crashes outright)",
+    )
+    p.add_argument(
         "--validate",
         action="store_true",
         help="Re-solve with PySCF and print the energy difference (needs pyscf)",
@@ -208,6 +215,25 @@ def main(argv=None) -> int:
                                   xc_impl=args.xc_impl, **kwargs)
         else:
             res = scf_host(setup.sys, setup.functional, **kwargs)
+        if (not res.converged and args.smear_kt == 0.0
+                and not args.no_auto_anneal):
+            # integer occupations have no reachable fixed point for some
+            # near-degenerate systems (CuO d-shell doublet -- the
+            # reference crashes on these, ref grid.py:46 spin=0 build);
+            # retry with the FON-RKS annealing ladder, warm-started hot.
+            from quantum_compute_dft_tpu.scf.driver import scf_host_annealed
+            import functools
+
+            print("-" * 80)
+            print("SCF did not converge with integer occupations; "
+                  "retrying with the FON-RKS annealing ladder "
+                  "(Fermi smearing, kT 0.5 -> 0.2)")
+            kwargs.pop("smear_kt")
+            runner = (functools.partial(scf_host_staged,
+                                        xc_impl=args.xc_impl)
+                      if staged else scf_host)
+            res = scf_host_annealed(setup.sys, setup.functional,
+                                    runner=runner, **kwargs)
         eb, e_tot, converged, n_iter, dm = (
             res.energy, res.e_tot, res.converged, res.n_iter, res.dm,
         )

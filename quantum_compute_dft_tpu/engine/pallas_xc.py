@@ -82,7 +82,7 @@ def _functional_eval(functional: Functional, rho, sigma):
 _NT = (((1,), (1,)), ((), ()))  # dot_general: contract last dim of both
 
 
-def _make_kernel(functional: Functional, npad: int):
+def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     H = jax.lax.Precision.HIGHEST
@@ -95,8 +95,13 @@ def _make_kernel(functional: Functional, npad: int):
     # 3-pass bf16 split (a_hi@b_hi + a_hi@b_lo + a_lo@b_hi ~ f32-quality
     # products): Mosaic only offers DEFAULT (1-pass bf16, too coarse) and
     # HIGHEST (6-pass exact f32) -- the split halves that matmul's MXU
-    # time.  phi_D stays HIGHEST: its error feeds the density and was
-    # measured to cost SCF cycles (benzene 25 -> 31 with split phi_D).
+    # time.  phi_D default is HIGHEST: its error feeds the density and was
+    # measured to cost SCF cycles when used for the WHOLE SCF (benzene
+    # 25 -> 31 with split phi_D).  phi_split=True applies the same 3-pass
+    # split to phi_D (~16-bit product mantissa, rel err ~1e-5) -- safe for
+    # the far-from-convergence cycles of the mixed schedule, where the
+    # f64 tail (or the safe kernel past the switch tolerance) restores
+    # full precision; it removes half the remaining MXU passes.
     def split(x):
         hi = x.astype(bf16)
         lo = (x - hi.astype(f32)).astype(bf16)
@@ -111,6 +116,17 @@ def _make_kernel(functional: Functional, npad: int):
     def nt3(ah, al, b):
         bh, bl = split(b)
         return nt1(ah, bh) + nt1(ah, bl) + nt1(al, bh)
+
+    if phi_split:
+
+        def mm_phi(dm, aoh, aol, aot):
+            dmh, dml = split(dm)
+            return d1(dmh, aoh) + d1(dmh, aol) + d1(dml, aoh)
+
+    else:
+
+        def mm_phi(dm, aoh, aol, aot):
+            return mm(dm, aot)
 
     if functional.needs_grad:
 
@@ -127,11 +143,12 @@ def _make_kernel(functional: Functional, npad: int):
             wt = w_ref[:, :]            # (1, tile)
             ones_row = ones_ref[:, :]   # (1, npad)
             aoh, aol = split(aot)       # for the V-accumulation matmul
-            # phi_D stays exact-f32 (HIGHEST): its error enters the
-            # density itself and measurably costs SCF cycles; the V
-            # accumulation tolerates 3-pass products (Fock perturbation
-            # ~1e-7, absorbed by DIIS)
-            phi_d = mm(dm_ref[:, :], aot)            # (npad, tile) MXU
+            # phi_D: exact-f32 (HIGHEST) by default -- its error enters
+            # the density itself; 3-pass split when phi_split (early
+            # mixed-mode cycles only).  The V accumulation always
+            # tolerates 3-pass products (Fock perturbation ~1e-7,
+            # absorbed by DIIS).
+            phi_d = mm_phi(dm_ref[:, :], aoh, aol, aot)  # (npad, tile) MXU
             rho = mm(ones_row, phi_d * aot)          # (1, tile)
             gx, gy, gz = gx_ref[:, :], gy_ref[:, :], gz_ref[:, :]
             grx = 2.0 * mm(ones_row, gx * phi_d)
@@ -171,7 +188,7 @@ def _make_kernel(functional: Functional, npad: int):
             wt = w_ref[:, :]
             ones_row = ones_ref[:, :]
             aoh, aol = split(aot)  # for the V matmul; see the GGA branch
-            phi_d = mm(dm_ref[:, :], aot)
+            phi_d = mm_phi(dm_ref[:, :], aoh, aol, aot)
             rho = mm(ones_row, phi_d * aot)
             t8 = aot.shape[1] // 8  # subtiled eval: see the GGA branch
             e8, vr8, _ = _functional_eval(
@@ -224,7 +241,9 @@ def pack_pallas_inputs(ao, weights, ao_grad=None, tile: int = DEFAULT_TILE,
     return aot, wt, grads
 
 
-@functools.partial(jax.jit, static_argnames=("functional", "tile", "n"))
+@functools.partial(
+    jax.jit, static_argnames=("functional", "tile", "n", "phi_split")
+)
 def xc_step_pallas_packed(
     functional: Functional,
     dm: jnp.ndarray,
@@ -233,6 +252,7 @@ def xc_step_pallas_packed(
     grads_t,
     n: int,
     tile: int = DEFAULT_TILE,
+    phi_split: bool = False,
 ):
     """XC build from pre-packed (pack_pallas_inputs) transposed planes."""
     npad, gpad = aot.shape
@@ -240,7 +260,7 @@ def xc_step_pallas_packed(
     f32 = jnp.float32
     dm_p = jnp.zeros((npad, npad), f32).at[:n, :n].set(dm.astype(f32))
     ones_row = jnp.zeros((1, npad), f32).at[0, :n].set(1.0)
-    kernel = _make_kernel(functional, npad)
+    kernel = _make_kernel(functional, npad, phi_split=phi_split)
     grid_in = [
         pl.BlockSpec((npad, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((npad, t), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -281,7 +301,9 @@ def xc_step_pallas_packed(
     return e_out[0, 0].astype(dm.dtype), 0.5 * (v + v.T)
 
 
-@functools.partial(jax.jit, static_argnames=("functional", "tile"))
+@functools.partial(
+    jax.jit, static_argnames=("functional", "tile", "phi_split")
+)
 def xc_step_pallas(
     functional: Functional,
     dm: jnp.ndarray,
@@ -289,6 +311,7 @@ def xc_step_pallas(
     weights: jnp.ndarray,
     ao_grad: Optional[jnp.ndarray] = None,
     tile: int = DEFAULT_TILE,
+    phi_split: bool = False,
 ):
     """Fused-tile XC build, f32: -> (E_xc, V_xc) with the same contract as
     engine.xc_engine.xc_step."""
@@ -305,7 +328,7 @@ def xc_step_pallas(
     ones_row = jnp.zeros((1, npad), f32).at[0, :n].set(1.0)
 
     n_tiles = gpad // tile
-    kernel = _make_kernel(functional, npad)
+    kernel = _make_kernel(functional, npad, phi_split=phi_split)
 
     grid_in = [
         pl.BlockSpec((npad, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -447,10 +447,10 @@ def _fock(hcore, j, vxc, k, c_hf: float):
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "delta",
-                                              "smear_kt"))
+                                              "smear_kt", "phi_split"))
 def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 packed, base, delta: bool, shift=0.0,
-                smear_kt: float = 0.0):
+                smear_kt: float = 0.0, phi_split: bool = False):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -460,7 +460,8 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
 
     aot, wt, grads = packed
     exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt, grads,
-                                           sys.ao.shape[1])
+                                           sys.ao.shape[1],
+                                           phi_split=phi_split)
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
                        base if delta else None, k_hi=delta, shift=shift,
                        smear_kt=smear_kt)
@@ -530,7 +531,8 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
-                         delta_base=None, shift=0.0, smear_kt: float = 0.0):
+                         delta_base=None, shift=0.0, smear_kt: float = 0.0,
+                         phi_split: bool = False):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -564,9 +566,14 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                                         n_grad=functional.needs_grad)
             per_sys[functional.needs_grad] = packed
         with timer.phase("cycle_" + xc_impl):
+            # delta mode must keep the safe kernel: the anchor's f32
+            # evaluation (make_delta_base) and the per-cycle increments
+            # must come from the SAME kernel variant for the rounding to
+            # cancel
             dm_new, diis, stat = _cycle_full(
                 sys, functional, dm, diis, packed, delta_base,
                 delta=xc_impl == "delta", shift=shift, smear_kt=smear_kt,
+                phi_split=phi_split and xc_impl == "pallas",
             )
             if fence:
                 jax.block_until_ready(stat)
@@ -609,6 +616,7 @@ def scf_host_staged(
     mixed_switch_tol: float = 1e-5,
     delta_refresh: int = 50,
     smear_kt: float = 0.0,
+    phi_split_early: bool = True,
 ) -> SCFResult:
     """xc_impl: 'f64', 'pallas', or 'mixed'.
 
@@ -646,6 +654,13 @@ def scf_host_staged(
         dm_new, diis, stat_dev = scf_iteration_staged(
             sys, functional, dm, diis, timer=timer, xc_impl=impl,
             delta_base=delta_base, shift=shiftc.shift, smear_kt=smear_kt,
+            # split-phi_D (3-pass bf16, ~1e-5 rel) only in the mixed
+            # schedule's far-from-convergence phase: the delta tail (and
+            # the final f64 re-evaluation) restores full precision there;
+            # a pure-pallas SCF keeps the exact-f32 phi_D (measured to
+            # cost cycles when split runs the WHOLE SCF)
+            phi_split=(phi_split_early and xc_impl == "mixed"
+                       and impl == "pallas"),
         )
         cycles_since_anchor += 1
         # ONE device->host materialization per cycle: each scalar fetch
@@ -696,6 +711,7 @@ def scf_host_annealed(
     sys: SCFSystem,
     functional: Functional,
     kts: tuple[float, ...] = (0.5, 0.2),
+    runner: Callable | None = None,
     **kwargs,
 ) -> SCFResult:
     """FON-RKS annealing ladder: converge at the hottest electronic
@@ -703,11 +719,15 @@ def scf_host_annealed(
     warm-started from the previous density.  The recipe for systems
     whose integer-occupation SCF has no reachable fixed point (CuO: a
     d-shell doublet; converges at kT 0.5 -> 0.2, charge-sloshes forever
-    below).  Returns the result at the coldest kT that converged."""
+    below).  Returns the result at the coldest kT that converged.
+
+    `runner` is the SCF loop to drive (default scf_host; pass
+    scf_host_staged for the TPU dispatch-fused variant)."""
+    run = runner if runner is not None else scf_host
     best = None
     dm0 = kwargs.pop("dm0", None)
     for kt in kts:
-        r = scf_host(sys, functional, smear_kt=kt, dm0=dm0, **kwargs)
+        r = run(sys, functional, smear_kt=kt, dm0=dm0, **kwargs)
         if not r.converged:
             break
         best = r

@@ -54,6 +54,27 @@ def test_pallas_matches_f64_engine(functional):
     assert dv < 5e-5, dv
 
 
+def test_pallas_phi_split_accuracy():
+    """The 3-pass bf16 split phi_D variant (early mixed-mode cycles): a
+    ~16-bit product mantissa must stay within ~1e-4 of the f64 engine --
+    loose enough for far-from-convergence Fock builds, whose error the
+    delta tail (same-variant anchor cancellation + f64 re-evaluation)
+    removes before the convergence check."""
+    setup = kohn_sham.prepare(from_atoms(H2O), "B3LYP", grid_level=1)
+    dm = initial_guess(setup.sys)
+    e_ref, v_ref = xc_step(
+        setup.functional, dm, setup.sys.ao, setup.sys.weights, setup.sys.ao_grad
+    )
+    e_p, v_p = px.xc_step_pallas(
+        setup.functional, dm, setup.sys.ao, setup.sys.weights,
+        setup.sys.ao_grad, tile=512, phi_split=True,
+    )
+    assert not np.isnan(float(e_p))
+    assert abs(float(e_p) - float(e_ref)) < 3e-4 * abs(float(e_ref))
+    dv = float(jnp.abs(v_p - v_ref).max())
+    assert dv < 3e-3, dv
+
+
 def test_pallas_f32_no_nan_over_extreme_inputs():
     from quantum_compute_dft_tpu.engine.pallas_xc import _functional_eval
     from quantum_compute_dft_tpu.xc import GGA, B3LYP
