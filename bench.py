@@ -247,8 +247,22 @@ def main() -> int:
                     return xc_step_pallas_packed(functional, dmx, pk[0],
                                                  pk[1], pk[2], nd)
 
+                def _dha_call_split(functional, dmx, *_):
+                    # the 3-pass bf16 phi_D variant the mixed schedule
+                    # runs in its far-from-convergence phase
+                    return xc_step_pallas_packed(functional, dmx, pk[0],
+                                                 pk[1], pk[2], nd,
+                                                 phi_split=True)
+
+                # warm-up discard: the first timed case in a fresh
+                # process measures artificially slow (verify skill)
+                _time_xc(_dha_call, 3, functional=dha.functional,
+                         dmx=dmd, args=(None,))
                 dha_ms = _time_xc(_dha_call, 20, functional=dha.functional,
                                   dmx=dmd, args=(None,))
+                dha_ms_split = _time_xc(_dha_call_split, 20,
+                                        functional=dha.functional,
+                                        dmx=dmd, args=(None,))
                 npad_d = (nd + 127) // 128 * 128
                 mb_d = 4 * npad_d * pk[0].shape[1] * 4 / 1e6
                 extra["dha_shape"] = {
@@ -256,6 +270,9 @@ def main() -> int:
                     "xc_ms_per_call_packed": round(dha_ms, 3),
                     "xc_bw_gbs": round(mb_d / dha_ms, 1),
                     "xc_bw_frac_819": round(mb_d / dha_ms / 819.0, 3),
+                    "xc_ms_per_call_phi_split": round(dha_ms_split, 3),
+                    "xc_bw_frac_819_phi_split": round(
+                        mb_d / dha_ms_split / 819.0, 3),
                 }
             except Exception as e:  # keep the headline bench robust
                 extra["dha_shape"] = {"error": f"{type(e).__name__}: {e}"}
