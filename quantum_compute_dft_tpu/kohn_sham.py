@@ -93,7 +93,7 @@ def prepare(
     _tick("one_electron")
     if density_fit is None:
         density_fit = basis.nao > AUTO_DF_NAO
-    df_j = df_k = df_k_hi = None
+    df_j = df_k = df_k_hi = df_j_fast = df_k_fast = None
     j3c = v2c = None
     eri = None
     if density_fit or _df_override is not None:
@@ -128,8 +128,22 @@ def prepare(
         import jax.numpy as jnp
 
         j3c_dev = jnp.asarray(j3c) if j3c is not None else None
-        df_j, df_k, _ = make_df_builders(j3c_dev, v2c,
-                                         build_k=fn.hyb_coeff != 0.0)
+        df_j, df_k, b_ret = make_df_builders(j3c_dev, v2c,
+                                             build_k=fn.hyb_coeff != 0.0)
+        # fast-phase builders (f32-HIGHEST J, bf16-split K) for the mixed
+        # schedule's early cycles and delta increments -- Cholesky mode
+        # only (identity metric: the factor IS the K tensor)
+        if v2c is None:
+            from quantum_compute_dft_tpu.integrals.density_fitting import (
+                make_fast_cd_builders,
+            )
+
+            df_j_fast, df_k_fast = make_fast_cd_builders(
+                b_ret if b_ret is not None else j3c_dev,
+                build_k=fn.hyb_coeff != 0.0,
+            )
+        else:
+            df_j_fast = df_k_fast = None
         # high-precision K for the f64 parity tail of the mixed SCF: when
         # the fast exchange auto-selected f32 (DHA scale), keep an f64
         # variant too -- in Cholesky mode it costs nothing to build
@@ -182,6 +196,8 @@ def prepare(
         hcore, s, eri, ao, grid.weights, ao_grad, mol.energy_nuc(), mol.nocc,
         df_coulomb=df_j, df_exchange=df_k, df_j3c=j3c, df_v2c=v2c,
         df_exchange_hi=df_k_hi if density_fit or _df_override else None,
+        df_coulomb_fast=df_j_fast if density_fit or _df_override else None,
+        df_exchange_fast=df_k_fast if density_fit or _df_override else None,
         sad_occ=sad_occupations(basis, mol.charges, mol.nelec),
         nopen=mol.nopen,
     )

@@ -188,6 +188,11 @@ class SCFSystem:
     # f64 exchange for the parity tail (equals df_exchange unless the fast
     # variant auto-selected f32 at large scale)
     df_exchange_hi: Callable | None = None
+    # fast-phase builders (f32-HIGHEST J, 3-pass bf16-split K): used far
+    # from convergence and for delta increments, where their ~1e-5
+    # relative error is absorbed (integrals/density_fitting.py)
+    df_coulomb_fast: Callable | None = None
+    df_exchange_fast: Callable | None = None
     # raw DF tensors (host numpy), kept for the sharded multi-chip path
     # which re-shards them over the aux axis (parallel/sharded.py)
     df_j3c: object | None = None
@@ -213,7 +218,8 @@ class EnergyBreakdown(NamedTuple):
 def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
                 df_coulomb=None, df_exchange=None,
                 df_j3c=None, df_v2c=None, df_exchange_hi=None,
-                sad_occ=None, nopen=0) -> SCFSystem:
+                sad_occ=None, nopen=0,
+                df_coulomb_fast=None, df_exchange_fast=None) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
@@ -229,6 +235,8 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
         df_coulomb=df_coulomb,
         df_exchange=df_exchange,
         df_exchange_hi=df_exchange_hi or df_exchange,
+        df_coulomb_fast=df_coulomb_fast,
+        df_exchange_fast=df_exchange_fast,
         df_j3c=df_j3c,
         df_v2c=df_v2c,
         dm_sad=None if sad_occ is None else jnp.diag(jnp.asarray(sad_occ, f64)),
@@ -352,13 +360,19 @@ def _pallas_xc(sys: SCFSystem, functional: Functional, dm):
                                  sys.ao.shape[1])
 
 
-def _build_j(sys: SCFSystem, dm):
-    return sys.df_coulomb(dm) if sys.eri is None else coulomb_full(sys.eri, dm)
+def _build_j(sys: SCFSystem, dm, fast: bool = False):
+    if sys.eri is not None:
+        return coulomb_full(sys.eri, dm)
+    if fast and sys.df_coulomb_fast is not None:
+        return sys.df_coulomb_fast(dm)
+    return sys.df_coulomb(dm)
 
 
-def _build_k(sys: SCFSystem, dm, hi: bool = False):
+def _build_k(sys: SCFSystem, dm, hi: bool = False, fast: bool = False):
     if sys.eri is not None:
         return exchange_full(sys.eri, dm)
+    if fast and not hi and sys.df_exchange_fast is not None:
+        return sys.df_exchange_fast(dm)
     fn = sys.df_exchange_hi if (hi and sys.df_exchange_hi) else sys.df_exchange
     return fn(dm)
 
@@ -464,14 +478,14 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                                            phi_split=phi_split)
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
                        base if delta else None, k_hi=delta, shift=shift,
-                       smear_kt=smear_kt)
+                       smear_kt=smear_kt, fast_jk=phi_split)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi",
-                                              "smear_kt"))
+                                              "smear_kt", "fast_jk"))
 def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 exc_in, vxc_in, base, k_hi: bool, shift=0.0,
-                smear_kt: float = 0.0):
+                smear_kt: float = 0.0, fast_jk: bool = False):
     """Everything after the XC build, fused into ONE dispatch: J, K,
     Fock assembly, DIIS, eigensolve/purification, energies, and the
     6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
@@ -479,24 +493,33 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     scale that was ~2/3 of the wall-clock per cycle.
 
     base=None: exc_in/vxc_in are the XC results, K built at `k_hi`
-    precision.  base=(dm0, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi):
+    precision; `fast_jk` selects the f32/bf16-split J/K builders (the
+    mixed schedule's far-from-convergence phase, ~1e-5 error absorbed
+    like the split-phi_D kernel's).
+    base=(dm0, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi, j0_64):
     delta mode -- exc_in/vxc_in are the raw Pallas f32 results and every
-    term anchors to the f64 evaluation at dm0 (see scf_iteration_staged).
+    term anchors to the f64 evaluation at dm0 (see scf_iteration_staged);
+    J and K apply fast increments by linearity (error ~1e-5 x increment,
+    parity-negligible).
     """
     c_hf = functional.hyb_coeff
-    j = _build_j(sys, dm)
     if base is None:
+        j = _build_j(sys, dm, fast=fast_jk)
         e_xc, vxc = exc_in, vxc_in
-        k = (_build_k(sys, dm, hi=k_hi) if c_hf != 0.0
-             else jnp.zeros_like(j))
+        k = (_build_k(sys, dm, hi=k_hi, fast=fast_jk and not k_hi)
+             if c_hf != 0.0 else jnp.zeros_like(j))
     else:
-        dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi = base
+        dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi, j0_64 = base
+        # J is linear in D: J64(dm0) + Jfast(dm - dm0) is exact up to
+        # f32 rounding of the (tiny) increment -- removes the
+        # emulated-f64 J contraction (~55 ms/cycle at DHA) from the tail
+        j = j0_64 + _build_j(sys, dm - dm0_b, fast=True)
         e_xc = exc0_64 + (exc_in - exc0_32)
         vxc = vxc0_64 + (vxc_in - vxc0_32)
         if c_hf != 0.0:
             # exact by linearity of K in D (in-core and DF alike); the
             # fast (f32 at scale) path only ever sees the small increment
-            k = k0_hi + _build_k(sys, dm - dm0_b, hi=False)
+            k = k0_hi + _build_k(sys, dm - dm0_b, hi=False, fast=True)
         else:
             k = jnp.zeros_like(j)
     f = _fock(sys.hcore, j, vxc, k, c_hf)
@@ -592,15 +615,16 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
 
 
 def make_delta_base(sys: SCFSystem, functional: Functional, dm):
-    """f64 anchors for the 'delta' tail: one f64 XC + one f64 K at the
-    anchor density, plus the matching Pallas-f32 XC evaluation whose
-    rounding cancels against later Pallas calls."""
+    """f64 anchors for the 'delta' tail: one f64 XC + one f64 K + one f64
+    J at the anchor density, plus the matching Pallas-f32 XC evaluation
+    whose rounding cancels against later Pallas calls."""
     exc0_64, vxc0_64 = xc_step(functional, dm, sys.ao, sys.weights,
                                sys.ao_grad)
     exc0_32, vxc0_32 = _pallas_xc(sys, functional, dm)
     k0_hi = (_build_k(sys, dm, hi=True)
              if functional.hyb_coeff != 0.0 else None)
-    return (dm, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi)
+    j0_64 = _build_j(sys, dm)
+    return (dm, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi, j0_64)
 
 
 def scf_host_staged(
@@ -616,7 +640,7 @@ def scf_host_staged(
     mixed_switch_tol: float = 1e-5,
     delta_refresh: int = 50,
     smear_kt: float = 0.0,
-    phi_split_early: bool = True,
+    phi_split_early: bool | None = None,
 ) -> SCFResult:
     """xc_impl: 'f64', 'pallas', or 'mixed'.
 
@@ -636,6 +660,12 @@ def scf_host_staged(
         xc_impl = "f64"  # the Pallas kernel is TPU-only
 
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
+    if phi_split_early is None:
+        # the reduced-precision early phase (split phi_D + f32 J +
+        # bf16-split K) costs a few extra cycles but makes each ~3x
+        # cheaper -- a clear win only once the J/K/XC tensors are large
+        # (measured: DHA nao=152 8.6 -> 4.8 s; Decane nao=72 a wash)
+        phi_split_early = dm.shape[0] >= 100
     diis = diis_init(dm.shape[0])
     shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
