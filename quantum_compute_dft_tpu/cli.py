@@ -62,9 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--xc-impl",
         choices=["f64", "pallas", "mixed"],
-        default="f64",
-        help="XC engine: f64 parity path, fused f32 Pallas TPU kernel, or "
-        "mixed (pallas until |dE|<1e-5, then f64)",
+        default="mixed",
+        help="XC engine: 'mixed' (default: fused f32 Pallas kernel until "
+        "|dE|<1e-5, then f64-anchored delta refinement -- same 1e-7 "
+        "parity as 'f64' at ~5x the speed; coerced to 'f64' on CPU), "
+        "'f64' (pure parity path), or 'pallas' (f32 throughout)",
     )
     p.add_argument(
         "--density-fit",
