@@ -400,78 +400,69 @@ def _cd_coulomb(l_vec, dm):
 
 
 @jax.jit
-def _cd_coulomb_f32(l32, dm):
-    """J from an f32 copy of the Cholesky vectors with HIGHEST-precision
-    f32 contractions (~1e-7 relative).  J's FLOP count is tiny
-    (O(naux nao^2)) but the f64 version is emulated-matmul-bound on TPU
-    (measured ~55 ms/call at DHA scale vs ~3 ms here); the SCF uses this
-    for its far-from-convergence phase and for delta increments, where
-    by linearity J(dm) = J64(dm0) + J32(dm - dm0) is exact up to f32
-    rounding of the (tiny) increment."""
+def _cd_coulomb_f32(bq32, dm):
+    """J from an f32, aux-major (naux, nao, nao) copy of the Cholesky
+    vectors with HIGHEST-precision f32 contractions (~1e-7 relative).
+    J's FLOP count is tiny (O(naux nao^2)) but the f64 version is
+    emulated-matmul-bound on TPU (measured ~55 ms/call at DHA scale);
+    the SCF uses this for its far-from-convergence phase and for delta
+    increments, where by linearity J(dm) = J64(dm0) + J32(dm - dm0) is
+    exact up to f32 rounding of the (tiny) increment.  Aux-major layout
+    makes both contractions single big (naux, nao^2) GEMV/GEMMs instead
+    of naux-many 1x(nao^2) slivers."""
     h = jax.lax.Precision.HIGHEST
+    naux, nao, _ = bq32.shape
+    bflat = bq32.reshape(naux, nao * nao)
     dm32 = dm.astype(jnp.float32)
-    rho = jnp.einsum("ijq,ij->q", l32, dm32, precision=h)
-    return jnp.einsum("ijq,q->ij", l32, rho, precision=h).astype(dm.dtype)
+    rho = jnp.matmul(bflat, dm32.reshape(-1), precision=h)
+    return jnp.matmul(rho, bflat, precision=h).reshape(nao, nao).astype(
+        dm.dtype
+    )
 
 
-def _bf16_split(x):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+_QL = (((0, 2), (0, 2)), ((), ()))  # dot_general: contract (aux, l) dims
 
 
 @jax.jit
-def _df_exchange_fast_split(b32, dm):
-    """Exchange via 3-pass bf16-split contractions (a_hi@b_hi + a_hi@b_lo
-    + a_lo@b_hi, ~16-bit product mantissa, rel err ~1e-5): K is the MXU
-    hot spot of a DF-SCF cycle (2 x O(naux nao^3) FLOPs; HIGHEST f32 is
-    6-pass) -- the split halves its MXU time.  Used for the mixed
-    schedule's early phase (error absorbed like phi_split's) and for
-    delta increments (error ~1e-5 x increment, parity-negligible)."""
+def _df_exchange_fast(bq32, dm):
+    """Exchange over the aux-major f32 factor, HIGHEST-precision f32
+    (~1e-6 relative).  The naive (nao, nao, naux) einsum was LAYOUT-bound
+    at ~124 ms/call (DHA): naux-many tiny (nao x nao) matmuls.  Aux-major
+    (naux, nao, nao) planes make the half-transform one (naux*nao, nao)
+    GEMM and the pairing step one (q,l)-contracting dot_general -- both
+    MXU-shaped: measured 1.3 ms/call at DHA, 95x the old layout, and
+    HIGHEST beats a manual 3-pass bf16 split there (5.3 ms) because
+    XLA's multi-pass emulation stays inside one well-tiled GEMM.  Used
+    for the mixed schedule's early phase and for delta increments
+    (error ~1e-6 x increment, parity-negligible)."""
     f32 = jnp.float32
+    h = jax.lax.Precision.HIGHEST
+    naux, nao, _ = bq32.shape
     dm32 = dm.astype(f32)
-    bh, bl = _bf16_split(b32)
-    dh, dl = _bf16_split(dm32)
-    t = (jnp.einsum("ikq,kl->ilq", bh, dh, preferred_element_type=f32)
-         + jnp.einsum("ikq,kl->ilq", bh, dl, preferred_element_type=f32)
-         + jnp.einsum("ikq,kl->ilq", bl, dh, preferred_element_type=f32))
-    th, tl = _bf16_split(t)
-    k = (jnp.einsum("ilq,jlq->ij", th, bh, preferred_element_type=f32)
-         + jnp.einsum("ilq,jlq->ij", tl, bh, preferred_element_type=f32)
-         + jnp.einsum("ilq,jlq->ij", th, bl, preferred_element_type=f32))
-    return k.astype(dm.dtype)
-
-
-@jax.jit
-def _df_exchange_fast_f32(b32, dm):
-    """CPU fallback of _df_exchange_fast_split: XLA:CPU has no
-    bf16 x bf16 -> f32 dot; plain f32 contractions carry the same
-    precision contract (or better)."""
-    dm32 = dm.astype(jnp.float32)
-    t = jnp.einsum("ikq,kl->ilq", b32, dm32)
-    return jnp.einsum("ilq,jlq->ij", t, b32).astype(dm.dtype)
-
-
-def _df_exchange_fast(b32, dm):
-    if jax.default_backend() == "cpu":
-        return _df_exchange_fast_f32(b32, dm)
-    return _df_exchange_fast_split(b32, dm)
+    t = jnp.matmul(bq32.reshape(naux * nao, nao), dm32,
+                   preferred_element_type=f32, precision=h).reshape(
+        naux, nao, nao
+    )
+    # K_ij = sum_ql t[q,i,l] b[q,j,l]
+    return jax.lax.dot_general(t, bq32, _QL, preferred_element_type=f32,
+                               precision=h).astype(dm.dtype)
 
 
 def make_fast_cd_builders(b, build_k: bool = True):
     """Fast-phase (coulomb, exchange) builders over a device-resident
-    Cholesky factor `b` (any float dtype; cast to f32 once here).  See
-    _cd_coulomb_f32 / _df_exchange_fast for the precision contract."""
-    b32 = jnp.asarray(b).astype(jnp.float32)
+    Cholesky factor `b` ((nao, nao, naux), any float dtype).  Builds the
+    aux-major f32 copy once.  See _cd_coulomb_f32 / _df_exchange_fast
+    for the precision contract."""
+    bq32 = jnp.transpose(jnp.asarray(b).astype(jnp.float32), (2, 0, 1))
 
     def coulomb(dm):
-        return _cd_coulomb_f32(b32, dm)
+        return _cd_coulomb_f32(bq32, dm)
 
     if not build_k:
         return coulomb, None
 
     def exchange(dm):
-        return _df_exchange_fast(b32, dm)
+        return _df_exchange_fast(bq32, dm)
 
     return coulomb, exchange
 

@@ -461,10 +461,12 @@ def _fock(hcore, j, vxc, k, c_hf: float):
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "delta",
-                                              "smear_kt", "phi_split"))
+                                              "smear_kt", "phi_split",
+                                              "fast_jk"))
 def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 packed, base, delta: bool, shift=0.0,
-                smear_kt: float = 0.0, phi_split: bool = False):
+                smear_kt: float = 0.0, phi_split: bool = False,
+                fast_jk: bool = False):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -478,7 +480,7 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                                            phi_split=phi_split)
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
                        base if delta else None, k_hi=delta, shift=shift,
-                       smear_kt=smear_kt, fast_jk=phi_split)
+                       smear_kt=smear_kt, fast_jk=fast_jk)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi",
@@ -555,7 +557,7 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
                          delta_base=None, shift=0.0, smear_kt: float = 0.0,
-                         phi_split: bool = False):
+                         phi_split: bool = False, fast_jk: bool = False):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -597,6 +599,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                 sys, functional, dm, diis, packed, delta_base,
                 delta=xc_impl == "delta", shift=shift, smear_kt=smear_kt,
                 phi_split=phi_split and xc_impl == "pallas",
+                fast_jk=fast_jk and xc_impl == "pallas",
             )
             if fence:
                 jax.block_until_ready(stat)
@@ -661,11 +664,11 @@ def scf_host_staged(
 
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     if phi_split_early is None:
-        # the reduced-precision early phase (split phi_D + f32 J +
-        # bf16-split K) costs a few extra cycles but makes each ~3x
-        # cheaper -- a clear win only once the J/K/XC tensors are large
-        # (measured: DHA nao=152 8.6 -> 4.8 s; Decane nao=72 a wash)
-        phi_split_early = dm.shape[0] >= 100
+        # with the aux-major fast J/K (~1e-6 rel) making cycles cheap,
+        # the split-phi_D kernel's ~1e-4 XC noise costs more in extra
+        # cycles than its 1.4 ms/call saves (measured DHA: 42 cyc/5.4 s
+        # split vs 32 cyc/4.9 s safe) -- keep the exact-f32 kernel
+        phi_split_early = False
     diis = diis_init(dm.shape[0])
     shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
@@ -675,12 +678,23 @@ def scf_host_staged(
     impl = "pallas" if xc_impl in ("pallas", "mixed") else "f64"
     delta_base = None
     cycles_since_anchor = 0
+    anchor_dnorm = float("inf")
     for cycle in range(max_cycle):
         if impl == "delta" and (
             delta_base is None or cycles_since_anchor >= delta_refresh
+            # near-convergence refresh: the fast J/K increments carry a
+            # ~1e-5-relative error of the CONSTANT anchor distance (dm
+            # converges to dm* != dm0, so increments never shrink) --
+            # re-anchoring once the density is 10x closer than where the
+            # anchor was taken shrinks the increments and their noise
+            # with the remaining error (measured: without it the fast
+            # endgame pays ~10-15 extra cycles at DHA)
+            or (cycles_since_anchor >= 2 and dnorm_prev < 10 * conv_tol_d
+                and anchor_dnorm > 10.0 * dnorm_prev)
         ):
             delta_base = make_delta_base(sys, functional, dm)
             cycles_since_anchor = 0
+            anchor_dnorm = dnorm_prev
         dm_new, diis, stat_dev = scf_iteration_staged(
             sys, functional, dm, diis, timer=timer, xc_impl=impl,
             delta_base=delta_base, shift=shiftc.shift, smear_kt=smear_kt,
@@ -691,6 +705,10 @@ def scf_host_staged(
             # cost cycles when split runs the WHOLE SCF)
             phi_split=(phi_split_early and xc_impl == "mixed"
                        and impl == "pallas"),
+            # the fast J/K (aux-major f32-HIGHEST, ~1e-6 rel, 95x the
+            # old layout) are accuracy-clean enough for every mixed
+            # early phase regardless of size
+            fast_jk=xc_impl == "mixed" and impl == "pallas",
         )
         cycles_since_anchor += 1
         # ONE device->host materialization per cycle: each scalar fetch
