@@ -554,6 +554,41 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
     return EnergyBreakdown(e_tot, e_one, e_coul, e_xc, e_ex)
 
 
+@functools.partial(jax.jit, static_argnames=("sys", "functional", "delta",
+                                              "smear_kt", "phi_split",
+                                              "fast_jk", "n_steps"))
+def _cycle_block(sys: SCFSystem, functional: Functional, dm,
+                 diis: DIISState, packed, base, delta: bool, n_steps: int,
+                 shift=0.0, smear_kt: float = 0.0, phi_split: bool = False,
+                 fast_jk: bool = False):
+    """n_steps Pallas-driven SCF cycles as ONE dispatch (lax.scan over
+    the _cycle_full body), returning the stacked per-cycle stat vectors.
+    Each dispatch enqueue costs ~25 ms and each stat fetch ~33 ms over
+    the TPU tunnel -- at ~60 ms of device work per DHA cycle that
+    overhead was half the wall-clock.  The host processes the n_steps
+    stat rows after the block: convergence/switch decisions trail by at
+    most n_steps-1 cheap cycles, and the caller only blocks when the
+    damping/level-shift guards cannot fire (smooth trajectories)."""
+    from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas_packed
+
+    aot, wt, grads = packed
+
+    def body(carry, _):
+        dm, diis = carry
+        exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt,
+                                               grads, sys.ao.shape[1],
+                                               phi_split=phi_split)
+        dm_new, diis, stat = _cycle_tail(
+            sys, functional, dm, diis, exc_in, vxc_in,
+            base if delta else None, k_hi=delta, shift=shift,
+            smear_kt=smear_kt, fast_jk=fast_jk,
+        )
+        return (dm_new, diis), stat
+
+    (dm, diis), stats = jax.lax.scan(body, (dm, diis), None, length=n_steps)
+    return dm, diis, stats
+
+
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
                          delta_base=None, shift=0.0, smear_kt: float = 0.0,
@@ -644,6 +679,7 @@ def scf_host_staged(
     delta_refresh: int = 50,
     smear_kt: float = 0.0,
     phi_split_early: bool | None = None,
+    block_cycles: int = 4,
 ) -> SCFResult:
     """xc_impl: 'f64', 'pallas', or 'mixed'.
 
@@ -679,7 +715,8 @@ def scf_host_staged(
     delta_base = None
     cycles_since_anchor = 0
     anchor_dnorm = float("inf")
-    for cycle in range(max_cycle):
+    cycle = 0
+    while cycle < max_cycle:
         if impl == "delta" and (
             delta_base is None or cycles_since_anchor >= delta_refresh
             # near-convergence refresh: the fast J/K increments carry a
@@ -695,54 +732,95 @@ def scf_host_staged(
             delta_base = make_delta_base(sys, functional, dm)
             cycles_since_anchor = 0
             anchor_dnorm = dnorm_prev
-        dm_new, diis, stat_dev = scf_iteration_staged(
-            sys, functional, dm, diis, timer=timer, xc_impl=impl,
-            delta_base=delta_base, shift=shiftc.shift, smear_kt=smear_kt,
-            # split-phi_D (3-pass bf16, ~1e-5 rel) only in the mixed
-            # schedule's far-from-convergence phase: the delta tail (and
-            # the final f64 re-evaluation) restores full precision there;
-            # a pure-pallas SCF keeps the exact-f32 phi_D (measured to
-            # cost cycles when split runs the WHOLE SCF)
-            phi_split=(phi_split_early and xc_impl == "mixed"
-                       and impl == "pallas"),
-            # the fast J/K (aux-major f32-HIGHEST, ~1e-6 rel, 95x the
-            # old layout) are accuracy-clean enough for every mixed
-            # early phase regardless of size
-            fast_jk=xc_impl == "mixed" and impl == "pallas",
-        )
-        cycles_since_anchor += 1
-        # ONE device->host materialization per cycle: each scalar fetch
-        # costs a full round-trip over the TPU tunnel (~33 ms measured),
-        # so e_tot/dnorm (and the callback's decomposition) ride together
-        stat = np.asarray(stat_dev)
-        e_tot, dnorm = float(stat[0]), float(stat[1])
-        eb = EnergyBreakdown(*(float(stat[i]) for i in (0, 2, 3, 4, 5)))
-        de = e_tot - e_old
-        if callback:
-            callback(cycle, eb, de, dnorm)
-        converged = abs(de) < conv_tol_e and dnorm < conv_tol_d
-        if converged and not (xc_impl == "mixed" and impl == "pallas"):
-            if impl == "delta":
+        phi_split = (phi_split_early and xc_impl == "mixed"
+                     and impl == "pallas")
+        # the fast J/K (aux-major f32-HIGHEST, ~1e-6 rel, 95x the old
+        # layout) are accuracy-clean enough for every mixed phase; delta
+        # increments use them unconditionally inside _cycle_tail
+        fast_jk = xc_impl == "mixed" and impl == "pallas"
+        # Block n cycles into one dispatch (see _cycle_block) when the
+        # trajectory is smooth: past the first cycle, no level shift
+        # active, and below the damping guard's radius -- there the
+        # host-side per-cycle interventions cannot fire and the only
+        # cost of trailing the stats is <= n-1 cheap extra cycles.
+        n = 1
+        if (block_cycles > 1 and impl in ("pallas", "delta")
+                and cycle >= 1 and shiftc.shift == 0.0
+                and dnorm_prev < DAMP_MIN_DNORM):
+            n = min(block_cycles, max_cycle - cycle)
+        if n > 1:
+            per_sys = _PALLAS_PACK_CACHE.setdefault(sys, {})
+            packed = per_sys.get(functional.needs_grad)
+            if packed is None:
+                from quantum_compute_dft_tpu.engine.pallas_xc import (
+                    pack_pallas_inputs,
+                )
+
+                packed = pack_pallas_inputs(sys.ao, sys.weights,
+                                            sys.ao_grad,
+                                            n_grad=functional.needs_grad)
+                per_sys[functional.needs_grad] = packed
+            dm_new, diis, stats_dev = _cycle_block(
+                sys, functional, dm, diis, packed, delta_base,
+                delta=impl == "delta", n_steps=n, shift=shiftc.shift,
+                smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
+            )
+            stats = np.asarray(stats_dev)  # ONE fetch for n cycles
+        else:
+            dm_new, diis, stat_dev = scf_iteration_staged(
+                sys, functional, dm, diis, timer=timer, xc_impl=impl,
+                delta_base=delta_base, shift=shiftc.shift,
+                smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
+            )
+            # ONE device->host materialization per cycle: each scalar
+            # fetch costs a full round-trip over the TPU tunnel (~33 ms),
+            # so e_tot/dnorm (and the callback's breakdown) ride together
+            stats = np.asarray(stat_dev)[None, :]
+        cycles_since_anchor += n
+        block_impl = impl  # the impl every row of this block RAN with
+        dnorm_prev_entry = dnorm_prev
+        converged_at = None
+        for r in range(stats.shape[0]):
+            stat = stats[r]
+            e_tot, dnorm = float(stat[0]), float(stat[1])
+            eb = EnergyBreakdown(*(float(stat[i]) for i in (0, 2, 3, 4, 5)))
+            de = e_tot - e_old
+            if callback:
+                callback(cycle + r, eb, de, dnorm)
+            converged = abs(de) < conv_tol_e and dnorm < conv_tol_d
+            # rows of a mixed-phase pallas block never count as converged
+            # (block_impl, not impl: a mid-block switch decision does not
+            # change what precision the remaining rows already ran at)
+            if (converged and converged_at is None
+                    and not (xc_impl == "mixed" and block_impl == "pallas")):
+                converged_at = cycle + r + 1
+            if xc_impl == "mixed" and impl == "pallas" and (
+                cycle + r > 0 and (converged or abs(de) < mixed_switch_tol)
+            ):
+                impl = "delta"  # f64-anchored f32 increments next block
+            fresh_diis = shiftc.update(cycle + r, dnorm)
+            if fresh_diis is not None:
+                diis = fresh_diis
+            dnorm_prev = dnorm
+            e_old = e_tot
+        if converged_at is not None:
+            if block_impl == "delta":
                 # report parity-grade energies: one full f64 evaluation
+                # of the density actually returned (end of block --
+                # past convergence every extra cycle stays at the fixed
+                # point to the convergence tolerance)
                 eb_dev = energy_of_dm(sys, functional, dm_new)
                 stat = np.asarray(jnp.stack(list(eb_dev)))
                 eb = EnergyBreakdown(*(float(v) for v in stat))
                 e_tot = eb.e_tot
-            return SCFResult(True, cycle + 1, dm_new, eb, e_tot,
+            return SCFResult(True, converged_at, dm_new, eb, e_tot,
                              level_shift=shiftc.shift,
                              shift_engaged_at=shiftc.engaged_at)
-        if xc_impl == "mixed" and impl == "pallas" and cycle > 0 and (
-            converged or abs(de) < mixed_switch_tol
-        ):
-            impl = "delta"  # f64-anchored f32 increments from here on
-        fresh_diis = shiftc.update(cycle, dnorm)
-        if fresh_diis is not None:
-            diis = fresh_diis
-        if dnorm > DAMP_MIN_DNORM and dnorm >= DAMP_RATIO * dnorm_prev:
+        if (n == 1 and dnorm > DAMP_MIN_DNORM
+                and dnorm >= DAMP_RATIO * dnorm_prev_entry):
             dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above
-        dnorm_prev = dnorm
         dm = dm_new
-        e_old = e_tot
+        cycle += n
     if max_cycle > 0:
         # the loop's last eb was computed from the pre-damping dm_new;
         # report the energy of the density actually returned
