@@ -680,6 +680,12 @@ def scf_host_staged(
     smear_kt: float = 0.0,
     phi_split_early: bool | None = None,
     block_cycles: int = 4,
+    # near-convergence anchor re-anchoring: was needed while the delta
+    # increments carried the bf16-split K's ~1e-5 noise; with the
+    # aux-major f32-HIGHEST J/K (~1e-6 of a shrinking increment) it
+    # costs more than it saves (measured DHA: off 3.4 s/35 cyc vs
+    # on 4.6 s/37 cyc -- each refresh pays a ~1 s f64 anchor)
+    near_refresh: bool = False,
 ) -> SCFResult:
     """xc_impl: 'f64', 'pallas', or 'mixed'.
 
@@ -726,7 +732,8 @@ def scf_host_staged(
             # anchor was taken shrinks the increments and their noise
             # with the remaining error (measured: without it the fast
             # endgame pays ~10-15 extra cycles at DHA)
-            or (cycles_since_anchor >= 2 and dnorm_prev < 10 * conv_tol_d
+            or (near_refresh and cycles_since_anchor >= 2
+                and dnorm_prev < 10 * conv_tol_d
                 and anchor_dnorm > 10.0 * dnorm_prev)
         ):
             delta_base = make_delta_base(sys, functional, dm)
