@@ -33,9 +33,10 @@ from quantum_compute_dft_tpu.xc.functionals import Functional
 _NT = (((1,), (1,)), ((), ()))  # dot_general: contract last dim of both
 
 
-def _xc_block(functional: Functional, dm, aot, wt, grt):
+def _xc_block(functional: Functional, dm, aot, wt, grt, want_v: bool = True):
     """(E_xc, V_half) contribution of one grid block -- TRANSPOSED
-    (nao, g) layout.
+    (nao, g) layout.  want_v=False skips the B assembly and the V GEMM
+    (the energy-only path of energy_of_dm's final f64 evaluation).
 
     Measured on v5e (benzene GGA, f64): the original (g, nao) layout ran
     the elementwise/reduction einsums at ~0.6 GFLOP/s-f64 -- nao=36 of
@@ -52,6 +53,8 @@ def _xc_block(functional: Functional, dm, aot, wt, grt):
         sigma = jnp.sum(grad_rho * grad_rho, axis=0)
         e, vrho, vsigma = functional.exc_vxc(rho, sigma)
         exc = wt @ e
+        if not want_v:
+            return exc, None
         # B_gi = w (vrho phi_i + 2 vsigma grad-rho . grad-phi_i)
         gdot = jnp.einsum("kg,kng->ng", grad_rho, grt)
         bt = wt[None, :] * (
@@ -60,6 +63,8 @@ def _xc_block(functional: Functional, dm, aot, wt, grt):
     else:
         e, vrho, _ = functional.exc_vxc(rho)
         exc = wt @ e
+        if not want_v:
+            return exc, None
         bt = (wt * vrho)[None, :] * aot
 
     # contract the shared grid axis of two (nao, g) operands (MXU GEMM)
@@ -118,3 +123,46 @@ def xc_step(
         body, (zero, jnp.zeros_like(dm)), (ao_p, w_p, g_p)
     )
     return exc, 0.5 * (v_half + v_half.T)
+
+
+@functools.partial(jax.jit, static_argnames=("functional",))
+def xc_energy(
+    functional: Functional,
+    dm: jnp.ndarray,
+    ao: jnp.ndarray,
+    weights: jnp.ndarray,
+    ao_grad: jnp.ndarray | None = None,
+):
+    """E_xc only (no V_xc matrix): skips the B assembly and the V GEMM --
+    roughly half the f64 engine's cost at DHA scale.  Used for the final
+    parity-grade energy evaluation (scf.driver.energy_of_dm), which
+    never needs the potential."""
+    g, n = ao.shape
+    aot = ao.T
+    grt = None if ao_grad is None else jnp.swapaxes(ao_grad, 1, 2)
+    if g <= 2 * _XC_CHUNK:
+        exc, _ = _xc_block(functional, dm, aot, weights, grt, want_v=False)
+        return exc
+
+    c = _XC_CHUNK
+    pad = (-g) % c
+    ao_p = jnp.pad(aot, ((0, 0), (0, pad))).reshape(n, -1, c)
+    ao_p = jnp.moveaxis(ao_p, 1, 0)
+    w_p = jnp.pad(weights, (0, pad)).reshape(-1, c)
+    if functional.needs_grad:
+        g_p = jnp.pad(grt, ((0, 0), (0, 0), (0, pad)))
+        g_p = g_p.reshape(3, n, -1, c)
+        g_p = jnp.moveaxis(g_p, 2, 0)
+    else:
+        g_p = jnp.zeros((ao_p.shape[0], 0))
+
+    def body(exc_acc, blk):
+        ao_b, w_b, gr_b = blk
+        exc, _ = _xc_block(
+            functional, dm, ao_b, w_b,
+            gr_b if functional.needs_grad else None, want_v=False,
+        )
+        return exc_acc + exc, None
+
+    exc, _ = jax.lax.scan(body, jnp.zeros((), dm.dtype), (ao_p, w_p, g_p))
+    return exc

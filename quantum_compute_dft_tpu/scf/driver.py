@@ -423,8 +423,10 @@ def energy_of_dm(sys: SCFSystem, functional: Functional, dm) -> EnergyBreakdown:
     the per-iteration energy, which mixes dm_new with J(dm_old) exactly as
     the reference does (ref dft.py:230-236) and therefore carries ~1e-9
     first-order noise at convergence."""
+    from quantum_compute_dft_tpu.engine.xc_engine import xc_energy
+
     j = _build_j(sys, dm)
-    e_xc, _ = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
+    e_xc = xc_energy(functional, dm, sys.ao, sys.weights, sys.ao_grad)
     c_hf = functional.hyb_coeff
     e_one = jnp.sum(dm * sys.hcore)
     e_coul = 0.5 * jnp.sum(dm * j)
