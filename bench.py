@@ -18,7 +18,7 @@ reference publishes none (BASELINE.md), so the first recorded round is
 the baseline (1.0) and later rounds compare against BENCH_r1.
 
 Env knobs: BENCH_MOLECULE, BENCH_FUNCTIONAL, BENCH_GRID_LEVEL,
-BENCH_XC_IMPL (f64|pallas|mixed), BENCH_BASELINE_S, BENCH_PEAK_TFLOPS.
+BENCH_XC_IMPL (f64|pallas|mixed|fast), BENCH_BASELINE_S, BENCH_PEAK_TFLOPS.
 """
 
 from __future__ import annotations
@@ -129,7 +129,7 @@ def main() -> int:
     # warm-up (compile; staged dispatches keep the remote TPU compiler
     # fast); the per-phase timer lives here because fenced phases cost a
     # host<->device round-trip each -- the timed run below is fully async
-    xc_impl = os.environ.get("BENCH_XC_IMPL", "mixed")
+    xc_impl = os.environ.get("BENCH_XC_IMPL", "fast")
     if jax.default_backend() == "cpu":
         xc_impl = "f64"  # the Pallas kernel is TPU-only
     switch_tol = float(os.environ.get("BENCH_SWITCH_TOL", "1e-5"))
@@ -146,7 +146,7 @@ def main() -> int:
 
     # XC per-call statistic on the converged density, timing the engine
     # that the SCF actually used (--xc-impl), not unconditionally f64
-    use_pallas = xc_impl in ("pallas", "mixed")
+    use_pallas = xc_impl in ("pallas", "mixed", "fast")
     if use_pallas:
         from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
 

@@ -61,12 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--xc-impl",
-        choices=["f64", "pallas", "mixed"],
-        default="mixed",
-        help="XC engine: 'mixed' (default: fused f32 Pallas kernel until "
-        "|dE|<1e-5, then f64-anchored delta refinement -- same 1e-7 "
-        "parity as 'f64' at ~5x the speed; coerced to 'f64' on CPU), "
-        "'f64' (pure parity path), or 'pallas' (f32 throughout)",
+        choices=["f64", "pallas", "mixed", "fast"],
+        default="fast",
+        help="SCF numerics schedule: 'fast' (default: whole SCF on the "
+        "f32 engines to the full convergence rule, final energy "
+        "re-evaluated in f64 -- variational O(eps^2) error, measured "
+        "<4e-8 Eh vs 'f64'; coerced to 'f64' on CPU), 'mixed' (f32 "
+        "early phase + f64-anchored delta refinement), 'f64' (pure "
+        "parity path), or 'pallas' (f32 incl. the reported energy)",
     )
     p.add_argument(
         "--density-fit",
@@ -250,7 +252,7 @@ def main(argv=None) -> int:
     # the SCF (--xc-impl), not unconditionally the f64 path.
     import jax
 
-    use_pallas = args.xc_impl in ("pallas", "mixed") and \
+    use_pallas = args.xc_impl in ("pallas", "mixed", "fast") and \
         jax.default_backend() not in ("cpu",)
     if use_pallas:
         from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas

@@ -400,6 +400,19 @@ def _cd_coulomb(l_vec, dm):
 
 
 @jax.jit
+def _cd_coulomb_q(bq, dm):
+    """J from an aux-major (naux, nao, nao) Cholesky factor, SAME dtype
+    as the factor (f64 for the 'fast' schedule's smooth J).  J's FLOP
+    count is trivial (two O(naux nao^2) matvecs) -- the 40 ms of the
+    (nao, nao, naux) einsum at DHA was pure layout cost; aux-major
+    streams the factor twice at full bandwidth."""
+    naux, nao, _ = bq.shape
+    bflat = bq.reshape(naux, nao * nao)
+    rho = bflat @ dm.reshape(-1)
+    return (rho @ bflat).reshape(nao, nao)
+
+
+@jax.jit
 def _cd_coulomb_f32(bq32, dm):
     """J from an f32, aux-major (naux, nao, nao) copy of the Cholesky
     vectors with HIGHEST-precision f32 contractions (~1e-7 relative).

@@ -94,7 +94,7 @@ def prepare(
     if density_fit is None:
         density_fit = basis.nao > AUTO_DF_NAO
     df_j = df_k = df_k_hi = df_j_fast = df_k_fast = None
-    j3c = v2c = None
+    j3c = v2c = j3c_dev = None
     eri = None
     if density_fit or _df_override is not None:
         from quantum_compute_dft_tpu.integrals.density_fitting import (
@@ -198,6 +198,11 @@ def prepare(
         df_exchange_hi=df_k_hi if density_fit or _df_override else None,
         df_coulomb_fast=df_j_fast if density_fit or _df_override else None,
         df_exchange_fast=df_k_fast if density_fit or _df_override else None,
+        # aux-major f64 Cholesky factor as a passable jit argument (the
+        # 'fast' schedule's smooth J; see _cd_coulomb_q)
+        df_b64=(jnp.transpose(j3c_dev, (2, 0, 1))
+                if (density_fit or _df_override) and v2c is None
+                else None),
         sad_occ=sad_occupations(basis, mol.charges, mol.nelec),
         nopen=mol.nopen,
     )

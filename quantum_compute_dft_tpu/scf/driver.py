@@ -193,6 +193,12 @@ class SCFSystem:
     # relative error is absorbed (integrals/density_fitting.py)
     df_coulomb_fast: Callable | None = None
     df_exchange_fast: Callable | None = None
+    # device-resident f64 Cholesky factor, passed as a jit ARGUMENT by
+    # the 'fast' schedule's cycle programs: builder closures embed their
+    # tensors as compile-time constants, and one program embedding both
+    # the 266 MB f64 factor and the 133 MB f32 K planes exceeds the
+    # remote-compile transport limit at DHA scale (HTTP 413)
+    df_b64: jnp.ndarray | None = None
     # raw DF tensors (host numpy), kept for the sharded multi-chip path
     # which re-shards them over the aux axis (parallel/sharded.py)
     df_j3c: object | None = None
@@ -219,7 +225,8 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
                 df_coulomb=None, df_exchange=None,
                 df_j3c=None, df_v2c=None, df_exchange_hi=None,
                 sad_occ=None, nopen=0,
-                df_coulomb_fast=None, df_exchange_fast=None) -> SCFSystem:
+                df_coulomb_fast=None, df_exchange_fast=None,
+                df_b64=None) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
@@ -237,6 +244,7 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
         df_exchange_hi=df_exchange_hi or df_exchange,
         df_coulomb_fast=df_coulomb_fast,
         df_exchange_fast=df_exchange_fast,
+        df_b64=df_b64,
         df_j3c=df_j3c,
         df_v2c=df_v2c,
         dm_sad=None if sad_occ is None else jnp.diag(jnp.asarray(sad_occ, f64)),
@@ -468,7 +476,7 @@ def _fock(hcore, j, vxc, k, c_hf: float):
 def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 packed, base, delta: bool, shift=0.0,
                 smear_kt: float = 0.0, phi_split: bool = False,
-                fast_jk: bool = False):
+                fast_jk: bool = False, j_arg=None):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -482,14 +490,14 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                                            phi_split=phi_split)
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
                        base if delta else None, k_hi=delta, shift=shift,
-                       smear_kt=smear_kt, fast_jk=fast_jk)
+                       smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi",
                                               "smear_kt", "fast_jk"))
 def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 exc_in, vxc_in, base, k_hi: bool, shift=0.0,
-                smear_kt: float = 0.0, fast_jk: bool = False):
+                smear_kt: float = 0.0, fast_jk: bool = False, j_arg=None):
     """Everything after the XC build, fused into ONE dispatch: J, K,
     Fock assembly, DIIS, eigensolve/purification, energies, and the
     6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
@@ -508,9 +516,26 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     """
     c_hf = functional.hyb_coeff
     if base is None:
-        j = _build_j(sys, dm, fast=fast_jk)
+        # fast_jk: False = f64 J + standard K; True = fast f32 J and K
+        # (mixed early phase, where the delta tail absorbs the noise);
+        # "k" = fast K but f64 J -- the 'fast' whole-SCF schedule, where
+        # J's f32 rounding steps (~1e-6 elementwise) would stall the
+        # ||dD|| < 1e-6 settling but K's (0.2x smaller in the Fock) do
+        # not (measured: DHA converges in ~21 cycles with f64 J, hits
+        # max_cycle with f32 J)
+        if j_arg is not None:
+            # f64 J with the AUX-MAJOR Cholesky factor as a jit ARGUMENT
+            # (not a builder-closure constant): see SCFSystem.df_b64
+            from quantum_compute_dft_tpu.integrals.density_fitting import (
+                _cd_coulomb_q,
+            )
+
+            j = _cd_coulomb_q(j_arg, dm)
+        else:
+            j = _build_j(sys, dm, fast=fast_jk is True)
         e_xc, vxc = exc_in, vxc_in
-        k = (_build_k(sys, dm, hi=k_hi, fast=fast_jk and not k_hi)
+        k = (_build_k(sys, dm, hi=k_hi,
+                      fast=fast_jk in (True, "k") and not k_hi)
              if c_hf != 0.0 else jnp.zeros_like(j))
     else:
         dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi, j0_64 = base
@@ -562,7 +587,7 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 def _cycle_block(sys: SCFSystem, functional: Functional, dm,
                  diis: DIISState, packed, base, delta: bool, n_steps: int,
                  shift=0.0, smear_kt: float = 0.0, phi_split: bool = False,
-                 fast_jk: bool = False):
+                 fast_jk: bool = False, j_arg=None):
     """n_steps Pallas-driven SCF cycles as ONE dispatch (lax.scan over
     the _cycle_full body), returning the stacked per-cycle stat vectors.
     Each dispatch enqueue costs ~25 ms and each stat fetch ~33 ms over
@@ -583,7 +608,7 @@ def _cycle_block(sys: SCFSystem, functional: Functional, dm,
         dm_new, diis, stat = _cycle_tail(
             sys, functional, dm, diis, exc_in, vxc_in,
             base if delta else None, k_hi=delta, shift=shift,
-            smear_kt=smear_kt, fast_jk=fast_jk,
+            smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg,
         )
         return (dm_new, diis), stat
 
@@ -594,7 +619,8 @@ def _cycle_block(sys: SCFSystem, functional: Functional, dm,
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
                          delta_base=None, shift=0.0, smear_kt: float = 0.0,
-                         phi_split: bool = False, fast_jk: bool = False):
+                         phi_split: bool = False, fast_jk: bool = False,
+                         j_arg=None):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -636,7 +662,8 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                 sys, functional, dm, diis, packed, delta_base,
                 delta=xc_impl == "delta", shift=shift, smear_kt=smear_kt,
                 phi_split=phi_split and xc_impl == "pallas",
-                fast_jk=fast_jk and xc_impl == "pallas",
+                fast_jk=fast_jk if xc_impl == "pallas" else False,
+                j_arg=j_arg if xc_impl == "pallas" else None,
             )
             if fence:
                 jax.block_until_ready(stat)
@@ -689,7 +716,7 @@ def scf_host_staged(
     # on 4.6 s/37 cyc -- each refresh pays a ~1 s f64 anchor)
     near_refresh: bool = False,
 ) -> SCFResult:
-    """xc_impl: 'f64', 'pallas', or 'mixed'.
+    """xc_impl: 'f64', 'pallas', 'mixed', or 'fast'.
 
     'mixed' drives early cycles with the ~20x-faster f32 Pallas XC and,
     once |dE| < mixed_switch_tol, switches to DELTA refinement: every
@@ -697,7 +724,16 @@ def scf_host_staged(
     subsequent cycles apply f32 increments (see scf_iteration_staged's
     'delta' branch) -- parity-grade Fock matrices at Pallas-iteration
     cost.  The anchor refreshes every `delta_refresh` cycles, and the
-    final reported energies are re-evaluated fully in f64."""
+    final reported energies are re-evaluated fully in f64.
+
+    'fast' runs the WHOLE SCF on the f32 engines (safe Pallas XC + the
+    aux-major fast J/K) to the full convergence rule and re-evaluates
+    the final energy in f64.  The f32 Fock error (~1e-5) shifts the
+    fixed-point density by O(eps); at that density the exact-f64 energy
+    is variationally stationary, so the REPORTED energy error is
+    O(eps^2) -- measured vs the f64 path: benzene +3.4e-8, Decane
+    +2.3e-9, DHA -3.6e-8 Eh, 25x inside the 1e-6 parity bar, with no
+    f64 anchor evaluations at all (DHA: 1.5 s vs 3.0 s mixed)."""
     import numpy as np
 
     import os
@@ -719,7 +755,7 @@ def scf_host_staged(
     dnorm_prev = float("inf")
     eb = EnergyBreakdown(*(float("nan"),) * 5)  # bound even at max_cycle=0
     e_tot = float("nan")
-    impl = "pallas" if xc_impl in ("pallas", "mixed") else "f64"
+    impl = "pallas" if xc_impl in ("pallas", "mixed", "fast") else "f64"
     delta_base = None
     cycles_since_anchor = 0
     anchor_dnorm = float("inf")
@@ -745,8 +781,18 @@ def scf_host_staged(
                      and impl == "pallas")
         # the fast J/K (aux-major f32-HIGHEST, ~1e-6 rel, 95x the old
         # layout) are accuracy-clean enough for every mixed phase; delta
-        # increments use them unconditionally inside _cycle_tail
-        fast_jk = xc_impl == "mixed" and impl == "pallas"
+        # increments use them unconditionally inside _cycle_tail.  The
+        # 'fast' whole-SCF schedule keeps f64 J (see _cycle_tail note).
+        if xc_impl == "mixed" and impl == "pallas":
+            fast_jk = True
+        elif xc_impl == "fast":
+            fast_jk = "k"
+        else:
+            fast_jk = False
+        # 'fast' passes the f64 Cholesky factor as a jit argument so the
+        # cycle program doesn't embed it alongside the f32 K planes
+        # (remote-compile body limit; see SCFSystem.df_b64)
+        j_arg = sys.df_b64 if fast_jk == "k" else None
         # Block n cycles into one dispatch (see _cycle_block) when the
         # trajectory is smooth: past the first cycle, no level shift
         # active, and below the damping guard's radius -- there the
@@ -773,6 +819,7 @@ def scf_host_staged(
                 sys, functional, dm, diis, packed, delta_base,
                 delta=impl == "delta", n_steps=n, shift=shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
+                j_arg=j_arg if impl == "pallas" else None,
             )
             stats = np.asarray(stats_dev)  # ONE fetch for n cycles
         else:
@@ -780,6 +827,7 @@ def scf_host_staged(
                 sys, functional, dm, diis, timer=timer, xc_impl=impl,
                 delta_base=delta_base, shift=shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
+                j_arg=j_arg,
             )
             # ONE device->host materialization per cycle: each scalar
             # fetch costs a full round-trip over the TPU tunnel (~33 ms),
@@ -813,7 +861,7 @@ def scf_host_staged(
             dnorm_prev = dnorm
             e_old = e_tot
         if converged_at is not None:
-            if block_impl == "delta":
+            if block_impl == "delta" or xc_impl == "fast":
                 # report parity-grade energies: one full f64 evaluation
                 # of the density actually returned (end of block --
                 # past convergence every extra cycle stays at the fixed

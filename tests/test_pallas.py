@@ -109,6 +109,24 @@ def test_mixed_delta_scf_matches_f64(monkeypatch):
 
 
 @pytest.mark.slow
+def test_fast_scf_matches_f64(monkeypatch):
+    """'fast' schedule (whole SCF on the f32 engines, final energy
+    re-evaluated in f64): the variational O(eps^2) argument must hold --
+    reported energy within 1e-7 of the f64 path (measured on the real
+    chip: benzene +3.4e-8, Decane +2.3e-9, DHA -3.6e-8)."""
+    from quantum_compute_dft_tpu.scf.driver import scf_host_staged
+
+    setup = kohn_sham.prepare(from_atoms(H2O), "B3LYP", grid_level=0,
+                              density_fit=True)
+    r_ref = scf_host_staged(setup.sys, setup.functional, xc_impl="f64")
+    r_fast = scf_host_staged(setup.sys, setup.functional, xc_impl="fast")
+    assert r_ref.converged and r_fast.converged
+    assert abs(r_fast.e_tot - r_ref.e_tot) < 1e-7, (
+        r_fast.e_tot, r_ref.e_tot
+    )
+
+
+@pytest.mark.slow
 def test_mixed_delta_scf_incore_hybrid(monkeypatch):
     """The delta tail with an IN-CORE hybrid (sys.eri present): the K
     anchor must be built there too -- caught live on TPU as
