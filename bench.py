@@ -123,6 +123,7 @@ def main() -> int:
             setup.sys.e_nuc, setup.sys.nocc,
             sad_occ=None if setup.sys.dm_sad is None
             else np.asarray(setup.sys.dm_sad).diagonal(),
+            nopen=setup.sys.nopen,  # odd-electron FON-RKS count
         )
     sys_dev = setup.sys
 

@@ -74,28 +74,18 @@ def _xc_block(functional: Functional, dm, aot, wt, grt, want_v: bool = True):
 _XC_CHUNK = 32768
 
 
-@functools.partial(jax.jit, static_argnames=("functional",))
-def xc_step(
-    functional: Functional,
-    dm: jnp.ndarray,          # (nao, nao)
-    ao: jnp.ndarray,          # (ngrid, nao)
-    weights: jnp.ndarray,     # (ngrid,)
-    ao_grad: jnp.ndarray | None = None,   # (3, ngrid, nao) planar layout
-):
-    """-> (E_xc scalar, V_xc (nao, nao) symmetric).
-
-    Inputs transpose to the (nao, g) layout once per call (see
-    _xc_block); large grids are processed as a lax.scan over fixed-size
-    grid chunks -- the unchunked f64 pipeline materializes multi-GB
-    (3, ngrid, nao) temporaries at DHA scale (measured 20 GB on a 16 GB
-    chip); the scan bounds temporaries to one chunk, exactly like the
-    Pallas tiling."""
+def _xc_scan(functional: Functional, dm, ao, weights, ao_grad,
+             want_v: bool):
+    """Shared chunked driver for xc_step / xc_energy: transpose to the
+    (nao, g) layout, then lax.scan over fixed-size grid chunks -- the
+    unchunked f64 pipeline materializes multi-GB (3, ngrid, nao)
+    temporaries at DHA scale (measured 20 GB on a 16 GB chip); the scan
+    bounds temporaries to one chunk, exactly like the Pallas tiling."""
     g, n = ao.shape
     aot = ao.T
     grt = None if ao_grad is None else jnp.swapaxes(ao_grad, 1, 2)
     if g <= 2 * _XC_CHUNK:
-        exc, v_half = _xc_block(functional, dm, aot, weights, grt)
-        return exc, 0.5 * (v_half + v_half.T)
+        return _xc_block(functional, dm, aot, weights, grt, want_v=want_v)
 
     c = _XC_CHUNK
     pad = (-g) % c
@@ -114,14 +104,29 @@ def xc_step(
         ao_b, w_b, gr_b = blk
         exc, v_half = _xc_block(
             functional, dm, ao_b, w_b,
-            gr_b if functional.needs_grad else None,
+            gr_b if functional.needs_grad else None, want_v=want_v,
         )
-        return (exc_acc + exc, v_acc + v_half), None
+        return (exc_acc + exc,
+                v_acc + v_half if want_v else v_acc), None
 
     zero = jnp.zeros((), dm.dtype)
     (exc, v_half), _ = jax.lax.scan(
         body, (zero, jnp.zeros_like(dm)), (ao_p, w_p, g_p)
     )
+    return exc, (v_half if want_v else None)
+
+
+@functools.partial(jax.jit, static_argnames=("functional",))
+def xc_step(
+    functional: Functional,
+    dm: jnp.ndarray,          # (nao, nao)
+    ao: jnp.ndarray,          # (ngrid, nao)
+    weights: jnp.ndarray,     # (ngrid,)
+    ao_grad: jnp.ndarray | None = None,   # (3, ngrid, nao) planar layout
+):
+    """-> (E_xc scalar, V_xc (nao, nao) symmetric).  See _xc_scan."""
+    exc, v_half = _xc_scan(functional, dm, ao, weights, ao_grad,
+                           want_v=True)
     return exc, 0.5 * (v_half + v_half.T)
 
 
@@ -137,32 +142,5 @@ def xc_energy(
     roughly half the f64 engine's cost at DHA scale.  Used for the final
     parity-grade energy evaluation (scf.driver.energy_of_dm), which
     never needs the potential."""
-    g, n = ao.shape
-    aot = ao.T
-    grt = None if ao_grad is None else jnp.swapaxes(ao_grad, 1, 2)
-    if g <= 2 * _XC_CHUNK:
-        exc, _ = _xc_block(functional, dm, aot, weights, grt, want_v=False)
-        return exc
-
-    c = _XC_CHUNK
-    pad = (-g) % c
-    ao_p = jnp.pad(aot, ((0, 0), (0, pad))).reshape(n, -1, c)
-    ao_p = jnp.moveaxis(ao_p, 1, 0)
-    w_p = jnp.pad(weights, (0, pad)).reshape(-1, c)
-    if functional.needs_grad:
-        g_p = jnp.pad(grt, ((0, 0), (0, 0), (0, pad)))
-        g_p = g_p.reshape(3, n, -1, c)
-        g_p = jnp.moveaxis(g_p, 2, 0)
-    else:
-        g_p = jnp.zeros((ao_p.shape[0], 0))
-
-    def body(exc_acc, blk):
-        ao_b, w_b, gr_b = blk
-        exc, _ = _xc_block(
-            functional, dm, ao_b, w_b,
-            gr_b if functional.needs_grad else None, want_v=False,
-        )
-        return exc_acc + exc, None
-
-    exc, _ = jax.lax.scan(body, jnp.zeros((), dm.dtype), (ao_p, w_p, g_p))
+    exc, _ = _xc_scan(functional, dm, ao, weights, ao_grad, want_v=False)
     return exc

@@ -130,10 +130,17 @@ def prepare(
         j3c_dev = jnp.asarray(j3c) if j3c is not None else None
         df_j, df_k, b_ret = make_df_builders(j3c_dev, v2c,
                                              build_k=fn.hyb_coeff != 0.0)
-        # fast-phase builders (f32-HIGHEST J, bf16-split K) for the mixed
-        # schedule's early cycles and delta increments -- Cholesky mode
-        # only (identity metric: the factor IS the K tensor)
-        if v2c is None:
+        # fast-phase builders (f32-HIGHEST aux-major J/K) for the mixed/
+        # fast schedules -- Cholesky mode only (identity metric: the
+        # factor IS the K tensor).  Only the accelerator path (or the
+        # Pallas interpreter used by the CPU test suite) ever calls
+        # them: the CPU backend coerces every schedule to 'f64', so
+        # skip the ~133 MB f32 + ~266 MB f64 aux-major copies there.
+        import jax as __jax
+
+        fast_eligible = (__jax.default_backend() != "cpu"
+                         or os.environ.get("DFT_PALLAS_INTERPRET") == "1")
+        if v2c is None and fast_eligible:
             from quantum_compute_dft_tpu.integrals.density_fitting import (
                 make_fast_cd_builders,
             )
@@ -199,9 +206,11 @@ def prepare(
         df_coulomb_fast=df_j_fast if density_fit or _df_override else None,
         df_exchange_fast=df_k_fast if density_fit or _df_override else None,
         # aux-major f64 Cholesky factor as a passable jit argument (the
-        # 'fast' schedule's smooth J; see _cd_coulomb_q)
+        # 'fast' schedule's smooth J; see _cd_coulomb_q); skipped on the
+        # pure-CPU backend along with the fast builders
         df_b64=(jnp.transpose(j3c_dev, (2, 0, 1))
                 if (density_fit or _df_override) and v2c is None
+                and df_j_fast is not None
                 else None),
         sad_occ=sad_occupations(basis, mol.charges, mol.nelec),
         nopen=mol.nopen,

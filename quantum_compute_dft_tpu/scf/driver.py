@@ -348,22 +348,25 @@ import weakref
 _PALLAS_PACK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _pallas_xc(sys: SCFSystem, functional: Functional, dm):
-    """Pallas XC via per-system cached packed planes: the one-time f32
-    transpose of the (multi-GB at DHA scale) AO tensors happens once per
-    SCFSystem, not once per call."""
-    from quantum_compute_dft_tpu.engine.pallas_xc import (
-        pack_pallas_inputs,
-        xc_step_pallas_packed,
-    )
+def _packed_for(sys: SCFSystem, needs_grad: bool):
+    """Per-system cached Pallas input planes: the one-time f32 transpose
+    of the (multi-GB at DHA scale) AO tensors happens once per
+    SCFSystem, not once per call site."""
+    from quantum_compute_dft_tpu.engine.pallas_xc import pack_pallas_inputs
 
     per_sys = _PALLAS_PACK_CACHE.setdefault(sys, {})
-    ent = per_sys.get(functional.needs_grad)
+    ent = per_sys.get(needs_grad)
     if ent is None:
         ent = pack_pallas_inputs(sys.ao, sys.weights, sys.ao_grad,
-                                 n_grad=functional.needs_grad)
-        per_sys[functional.needs_grad] = ent
-    aot, wt, grads = ent
+                                 n_grad=needs_grad)
+        per_sys[needs_grad] = ent
+    return ent
+
+
+def _pallas_xc(sys: SCFSystem, functional: Functional, dm):
+    from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas_packed
+
+    aot, wt, grads = _packed_for(sys, functional.needs_grad)
     return xc_step_pallas_packed(functional, dm, aot, wt, grads,
                                  sys.ao.shape[1])
 
@@ -643,16 +646,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     if xc_impl in ("pallas", "delta"):
         # one fused dispatch per cycle; the packed planes come from the
         # per-system cache
-        from quantum_compute_dft_tpu.engine.pallas_xc import (
-            pack_pallas_inputs,
-        )
-
-        per_sys = _PALLAS_PACK_CACHE.setdefault(sys, {})
-        packed = per_sys.get(functional.needs_grad)
-        if packed is None:
-            packed = pack_pallas_inputs(sys.ao, sys.weights, sys.ao_grad,
-                                        n_grad=functional.needs_grad)
-            per_sys[functional.needs_grad] = packed
+        packed = _packed_for(sys, functional.needs_grad)
         with timer.phase("cycle_" + xc_impl):
             # delta mode must keep the safe kernel: the anchor's f32
             # evaluation (make_delta_base) and the per-cycle increments
@@ -763,13 +757,11 @@ def scf_host_staged(
     while cycle < max_cycle:
         if impl == "delta" and (
             delta_base is None or cycles_since_anchor >= delta_refresh
-            # near-convergence refresh: the fast J/K increments carry a
-            # ~1e-5-relative error of the CONSTANT anchor distance (dm
-            # converges to dm* != dm0, so increments never shrink) --
-            # re-anchoring once the density is 10x closer than where the
-            # anchor was taken shrinks the increments and their noise
-            # with the remaining error (measured: without it the fast
-            # endgame pays ~10-15 extra cycles at DHA)
+            # optional near-convergence re-anchoring (off by default --
+            # see the near_refresh parameter comment: with the ~1e-6
+            # aux-major increments each ~1 s f64 re-anchor costs more
+            # than the cycles it saves; the knob remains for noisier
+            # increment variants, which it was measured to rescue)
             or (near_refresh and cycles_since_anchor >= 2
                 and dnorm_prev < 10 * conv_tol_d
                 and anchor_dnorm > 10.0 * dnorm_prev)
@@ -804,17 +796,7 @@ def scf_host_staged(
                 and dnorm_prev < DAMP_MIN_DNORM):
             n = min(block_cycles, max_cycle - cycle)
         if n > 1:
-            per_sys = _PALLAS_PACK_CACHE.setdefault(sys, {})
-            packed = per_sys.get(functional.needs_grad)
-            if packed is None:
-                from quantum_compute_dft_tpu.engine.pallas_xc import (
-                    pack_pallas_inputs,
-                )
-
-                packed = pack_pallas_inputs(sys.ao, sys.weights,
-                                            sys.ao_grad,
-                                            n_grad=functional.needs_grad)
-                per_sys[functional.needs_grad] = packed
+            packed = _packed_for(sys, functional.needs_grad)
             dm_new, diis, stats_dev = _cycle_block(
                 sys, functional, dm, diis, packed, delta_base,
                 delta=impl == "delta", n_steps=n, shift=shiftc.shift,
@@ -837,6 +819,7 @@ def scf_host_staged(
         block_impl = impl  # the impl every row of this block RAN with
         dnorm_prev_entry = dnorm_prev
         converged_at = None
+        shift_acted = False
         for r in range(stats.shape[0]):
             stat = stats[r]
             e_tot, dnorm = float(stat[0]), float(stat[1])
@@ -855,9 +838,17 @@ def scf_host_staged(
                 cycle + r > 0 and (converged or abs(de) < mixed_switch_tol)
             ):
                 impl = "delta"  # f64-anchored f32 increments next block
-            fresh_diis = shiftc.update(cycle + r, dnorm)
-            if fresh_diis is not None:
-                diis = fresh_diis
+            # feed the controller until its FIRST action in this block:
+            # rows after an engage/escalate/release ran under the OLD
+            # shift, and feeding them would e.g. release a shift that
+            # never applied (engage at row r, dnorm already below
+            # SHIFT_RELEASE at row r+1) -- the next iteration runs
+            # per-cycle (shift > 0 disables blocking) with true dynamics
+            if not shift_acted:
+                fresh_diis = shiftc.update(cycle + r, dnorm)
+                if fresh_diis is not None:
+                    diis = fresh_diis
+                    shift_acted = True
             dnorm_prev = dnorm
             e_old = e_tot
         if converged_at is not None:
