@@ -462,22 +462,25 @@ def _df_exchange_fast(bq32, dm):
 
 
 def make_fast_cd_builders(b, build_k: bool = True):
-    """Fast-phase (coulomb, exchange) builders over a device-resident
+    """Fast-phase (coulomb, exchange, bq32) over a device-resident
     Cholesky factor `b` ((nao, nao, naux), any float dtype).  Builds the
-    aux-major f32 copy once.  See _cd_coulomb_f32 / _df_exchange_fast
-    for the precision contract."""
+    aux-major f32 copy once and also returns it: jitted cycle programs
+    must receive it as an ARGUMENT (SCFSystem.df_bq32), not through the
+    builder closures, or it embeds as a compile-time constant and blows
+    the remote-compile body limit at scale.  See _cd_coulomb_f32 /
+    _df_exchange_fast for the precision contract."""
     bq32 = jnp.transpose(jnp.asarray(b).astype(jnp.float32), (2, 0, 1))
 
     def coulomb(dm):
         return _cd_coulomb_f32(bq32, dm)
 
     if not build_k:
-        return coulomb, None
+        return coulomb, None, bq32
 
     def exchange(dm):
         return _df_exchange_fast(bq32, dm)
 
-    return coulomb, exchange
+    return coulomb, exchange, bq32
 
 
 @jax.jit

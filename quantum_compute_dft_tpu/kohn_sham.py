@@ -145,12 +145,12 @@ def prepare(
                 make_fast_cd_builders,
             )
 
-            df_j_fast, df_k_fast = make_fast_cd_builders(
+            df_j_fast, df_k_fast, bq32 = make_fast_cd_builders(
                 b_ret if b_ret is not None else j3c_dev,
                 build_k=fn.hyb_coeff != 0.0,
             )
         else:
-            df_j_fast = df_k_fast = None
+            df_j_fast = df_k_fast = bq32 = None
         # high-precision K for the f64 parity tail of the mixed SCF: when
         # the fast exchange auto-selected f32 (DHA scale), keep an f64
         # variant too -- in Cholesky mode it costs nothing to build
@@ -212,6 +212,7 @@ def prepare(
                 if (density_fit or _df_override) and v2c is None
                 and df_j_fast is not None
                 else None),
+        df_bq32=bq32 if density_fit or _df_override else None,
         sad_occ=sad_occupations(basis, mol.charges, mol.nelec),
         nopen=mol.nopen,
     )

@@ -193,12 +193,14 @@ class SCFSystem:
     # relative error is absorbed (integrals/density_fitting.py)
     df_coulomb_fast: Callable | None = None
     df_exchange_fast: Callable | None = None
-    # device-resident f64 Cholesky factor, passed as a jit ARGUMENT by
-    # the 'fast' schedule's cycle programs: builder closures embed their
-    # tensors as compile-time constants, and one program embedding both
-    # the 266 MB f64 factor and the 133 MB f32 K planes exceeds the
-    # remote-compile transport limit at DHA scale (HTTP 413)
-    df_b64: jnp.ndarray | None = None
+    # device-resident aux-major factors, passed as jit ARGUMENTS by the
+    # fast/mixed cycle programs: builder closures embed their tensors as
+    # compile-time constants, and programs embedding the multi-100-MB
+    # factors exceed the remote-compile transport limit (HTTP 413 at
+    # DHA scale for f64+f32 together; at north-star scale nao=377 even
+    # the f32 planes alone)
+    df_b64: jnp.ndarray | None = None   # aux-major f64 (smooth J)
+    df_bq32: jnp.ndarray | None = None  # aux-major f32 (fast J/K)
     # raw DF tensors (host numpy), kept for the sharded multi-chip path
     # which re-shards them over the aux axis (parallel/sharded.py)
     df_j3c: object | None = None
@@ -226,7 +228,7 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
                 df_j3c=None, df_v2c=None, df_exchange_hi=None,
                 sad_occ=None, nopen=0,
                 df_coulomb_fast=None, df_exchange_fast=None,
-                df_b64=None) -> SCFSystem:
+                df_b64=None, df_bq32=None) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
@@ -245,6 +247,7 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
         df_coulomb_fast=df_coulomb_fast,
         df_exchange_fast=df_exchange_fast,
         df_b64=df_b64,
+        df_bq32=df_bq32,
         df_j3c=df_j3c,
         df_v2c=df_v2c,
         dm_sad=None if sad_occ is None else jnp.diag(jnp.asarray(sad_occ, f64)),
@@ -388,6 +391,31 @@ def _build_k(sys: SCFSystem, dm, hi: bool = False, fast: bool = False):
     return fn(dm)
 
 
+def _fast_j(sys: SCFSystem, dm, k_arg):
+    """Fast f32 J; prefers the aux-major factor passed as a jit ARGUMENT
+    (k_arg) over the builder closure -- inside a jitted cycle program the
+    closure's tensor becomes an embedded constant and the remote-compile
+    body limit rejects multi-100-MB programs (HTTP 413)."""
+    if k_arg is not None:
+        from quantum_compute_dft_tpu.integrals.density_fitting import (
+            _cd_coulomb_f32,
+        )
+
+        return _cd_coulomb_f32(k_arg, dm)
+    return _build_j(sys, dm, fast=True)
+
+
+def _fast_k(sys: SCFSystem, dm, k_arg):
+    """Fast f32 K; same argument-vs-closure contract as _fast_j."""
+    if k_arg is not None:
+        from quantum_compute_dft_tpu.integrals.density_fitting import (
+            _df_exchange_fast,
+        )
+
+        return _df_exchange_fast(k_arg, dm)
+    return _build_k(sys, dm, hi=False, fast=True)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sys", "functional", "smear_kt",
                                     "mixer"))
@@ -479,7 +507,7 @@ def _fock(hcore, j, vxc, k, c_hf: float):
 def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 packed, base, delta: bool, shift=0.0,
                 smear_kt: float = 0.0, phi_split: bool = False,
-                fast_jk: bool = False, j_arg=None):
+                fast_jk: bool = False, j_arg=None, k_arg=None):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -493,14 +521,16 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                                            phi_split=phi_split)
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
                        base if delta else None, k_hi=delta, shift=shift,
-                       smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg)
+                       smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg,
+                       k_arg=k_arg)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi",
                                               "smear_kt", "fast_jk"))
 def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 exc_in, vxc_in, base, k_hi: bool, shift=0.0,
-                smear_kt: float = 0.0, fast_jk: bool = False, j_arg=None):
+                smear_kt: float = 0.0, fast_jk: bool = False, j_arg=None,
+                k_arg=None):
     """Everything after the XC build, fused into ONE dispatch: J, K,
     Fock assembly, DIIS, eigensolve/purification, energies, and the
     6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
@@ -526,7 +556,9 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
         # ||dD|| < 1e-6 settling but K's (0.2x smaller in the Fock) do
         # not (measured: DHA converges in ~21 cycles with f64 J, hits
         # max_cycle with f32 J)
-        if j_arg is not None:
+        if fast_jk is True:
+            j = _fast_j(sys, dm, k_arg)
+        elif j_arg is not None:
             # f64 J with the AUX-MAJOR Cholesky factor as a jit ARGUMENT
             # (not a builder-closure constant): see SCFSystem.df_b64
             from quantum_compute_dft_tpu.integrals.density_fitting import (
@@ -535,23 +567,26 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
 
             j = _cd_coulomb_q(j_arg, dm)
         else:
-            j = _build_j(sys, dm, fast=fast_jk is True)
+            j = _build_j(sys, dm)
         e_xc, vxc = exc_in, vxc_in
-        k = (_build_k(sys, dm, hi=k_hi,
-                      fast=fast_jk in (True, "k") and not k_hi)
-             if c_hf != 0.0 else jnp.zeros_like(j))
+        if c_hf == 0.0:
+            k = jnp.zeros_like(j)
+        elif fast_jk in (True, "k") and not k_hi:
+            k = _fast_k(sys, dm, k_arg)
+        else:
+            k = _build_k(sys, dm, hi=k_hi)
     else:
         dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi, j0_64 = base
         # J is linear in D: J64(dm0) + Jfast(dm - dm0) is exact up to
         # f32 rounding of the (tiny) increment -- removes the
         # emulated-f64 J contraction (~55 ms/cycle at DHA) from the tail
-        j = j0_64 + _build_j(sys, dm - dm0_b, fast=True)
+        j = j0_64 + _fast_j(sys, dm - dm0_b, k_arg)
         e_xc = exc0_64 + (exc_in - exc0_32)
         vxc = vxc0_64 + (vxc_in - vxc0_32)
         if c_hf != 0.0:
             # exact by linearity of K in D (in-core and DF alike); the
             # fast (f32 at scale) path only ever sees the small increment
-            k = k0_hi + _build_k(sys, dm - dm0_b, hi=False, fast=True)
+            k = k0_hi + _fast_k(sys, dm - dm0_b, k_arg)
         else:
             k = jnp.zeros_like(j)
     f = _fock(sys.hcore, j, vxc, k, c_hf)
@@ -590,7 +625,7 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 def _cycle_block(sys: SCFSystem, functional: Functional, dm,
                  diis: DIISState, packed, base, delta: bool, n_steps: int,
                  shift=0.0, smear_kt: float = 0.0, phi_split: bool = False,
-                 fast_jk: bool = False, j_arg=None):
+                 fast_jk: bool = False, j_arg=None, k_arg=None):
     """n_steps Pallas-driven SCF cycles as ONE dispatch (lax.scan over
     the _cycle_full body), returning the stacked per-cycle stat vectors.
     Each dispatch enqueue costs ~25 ms and each stat fetch ~33 ms over
@@ -611,7 +646,7 @@ def _cycle_block(sys: SCFSystem, functional: Functional, dm,
         dm_new, diis, stat = _cycle_tail(
             sys, functional, dm, diis, exc_in, vxc_in,
             base if delta else None, k_hi=delta, shift=shift,
-            smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg,
+            smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg, k_arg=k_arg,
         )
         return (dm_new, diis), stat
 
@@ -623,7 +658,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
                          delta_base=None, shift=0.0, smear_kt: float = 0.0,
                          phi_split: bool = False, fast_jk: bool = False,
-                         j_arg=None):
+                         j_arg=None, k_arg=None):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -658,6 +693,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                 phi_split=phi_split and xc_impl == "pallas",
                 fast_jk=fast_jk if xc_impl == "pallas" else False,
                 j_arg=j_arg if xc_impl == "pallas" else None,
+                k_arg=k_arg,
             )
             if fence:
                 jax.block_until_ready(stat)
@@ -785,6 +821,9 @@ def scf_host_staged(
         # cycle program doesn't embed it alongside the f32 K planes
         # (remote-compile body limit; see SCFSystem.df_b64)
         j_arg = sys.df_b64 if fast_jk == "k" else None
+        # aux-major f32 factor for fast J/K and delta increments -- also
+        # a jit argument, for the same transport-limit reason
+        k_arg = sys.df_bq32
         # Block n cycles into one dispatch (see _cycle_block) when the
         # trajectory is smooth: past the first cycle, no level shift
         # active, and below the damping guard's radius -- there the
@@ -801,7 +840,7 @@ def scf_host_staged(
                 sys, functional, dm, diis, packed, delta_base,
                 delta=impl == "delta", n_steps=n, shift=shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
-                j_arg=j_arg if impl == "pallas" else None,
+                j_arg=j_arg if impl == "pallas" else None, k_arg=k_arg,
             )
             stats = np.asarray(stats_dev)  # ONE fetch for n cycles
         else:
@@ -809,7 +848,7 @@ def scf_host_staged(
                 sys, functional, dm, diis, timer=timer, xc_impl=impl,
                 delta_base=delta_base, shift=shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
-                j_arg=j_arg,
+                j_arg=j_arg, k_arg=k_arg,
             )
             # ONE device->host materialization per cycle: each scalar
             # fetch costs a full round-trip over the TPU tunnel (~33 ms),
