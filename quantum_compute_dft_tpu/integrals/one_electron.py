@@ -9,6 +9,7 @@ per-shell-class dispatch, which is the XLA-friendly shape of the problem.
 
 from __future__ import annotations
 
+import os
 from math import pi
 
 import jax
@@ -103,6 +104,23 @@ def _pair_runner(lmax: int):
     return run
 
 
+# Row budget for the fused nuclear-attraction intermediate.  The V sweep
+# materializes a Boys-table buffer of (npairs * nprim^2 * natom) rows whose
+# ~10-wide minor dim the TPU tiled layout pads to 128 lanes; at the
+# 117-atom north star (71,253 pairs x 9 prim-pairs x 117 atoms = 75.0M
+# rows) the unchunked program asks for a 38 GB buffer on a 16 GB chip.
+# 2M fused rows bounds that temporary near ~1 GB while keeping each
+# dispatch VPU-saturating.  The per-dispatch PAIR chunk is derived from
+# this budget and the molecule's natom/nprim, so small molecules stay
+# single-dispatch.
+_ROW_BUDGET = int(os.environ.get("DFT_INT1E_ROWS", str(1 << 21)))
+
+
+def _pair_chunk(natom: int, nprim: int) -> int:
+    expand = max(1, natom * nprim * nprim)
+    return max(1024, _ROW_BUDGET // expand)
+
+
 def one_electron_cart(basis: BasisSet, atom_xyz: np.ndarray, atom_z: np.ndarray):
     """S, T, V in the cartesian AO basis, computed pairwise on device."""
     n = basis.ncart
@@ -116,9 +134,33 @@ def one_electron_cart(basis: BasisSet, atom_xyz: np.ndarray, atom_z: np.ndarray)
     axyz = jnp.asarray(atom_xyz)
     az = jnp.asarray(atom_z)
 
-    s_u, t_u, v_u = _pair_runner(lmax)(
-        pw, ce, al, co, axyz, az, jnp.asarray(iu), jnp.asarray(ju)
-    )
+    run = _pair_runner(lmax)
+    npairs = iu.size
+    chunk = _pair_chunk(len(atom_z), int(basis.cart_alphas.shape[1]))
+    if npairs <= chunk:
+        s_u, t_u, v_u = run(
+            pw, ce, al, co, axyz, az, jnp.asarray(iu), jnp.asarray(ju)
+        )
+    else:
+        # fixed-shape chunks (last one padded with pair (0,0), trimmed
+        # after fetch) -> one compiled program reused across all chunks
+        parts = []
+        for k in range(0, npairs, chunk):
+            ii = iu[k:k + chunk]
+            jj = ju[k:k + chunk]
+            real = ii.size
+            if real < chunk:
+                pad = chunk - real
+                ii = np.concatenate([ii, np.zeros(pad, ii.dtype)])
+                jj = np.concatenate([jj, np.zeros(pad, jj.dtype)])
+            s_c, t_c, v_c = run(
+                pw, ce, al, co, axyz, az, jnp.asarray(ii), jnp.asarray(jj)
+            )
+            parts.append((np.asarray(s_c)[:real], np.asarray(t_c)[:real],
+                          np.asarray(v_c)[:real]))
+        s_u = np.concatenate([p[0] for p in parts])
+        t_u = np.concatenate([p[1] for p in parts])
+        v_u = np.concatenate([p[2] for p in parts])
 
     def unpack(vals):
         m = np.zeros((n, n))

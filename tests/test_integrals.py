@@ -160,3 +160,32 @@ def test_d_shell_normalization_and_symmetry():
     assert abs(np.diag(S) - 1.0).max() < 1e-12
     assert abs(S - S.T).max() < 1e-13
     assert abs(V - V.T).max() < 1e-10
+
+
+def test_one_electron_chunked_matches_single_dispatch(monkeypatch):
+    """The pair-chunked dispatch (HBM-bounded path used by the 117-atom
+    north star) must be bit-identical to the single-dispatch path."""
+    import importlib
+
+    oe = importlib.import_module(
+        "quantum_compute_dft_tpu.integrals.one_electron"
+    )
+    nh3 = [
+        ("N", (0.0, 0.0, 0.1)),
+        ("H", (0.0, 0.94, -0.32)),
+        ("H", (0.81, -0.47, -0.32)),
+        ("H", (-0.81, -0.47, -0.32)),
+    ]
+    mol = from_atoms(nh3)
+    bas = build_basis(mol)
+    ref = one_electron(bas, mol.coords, mol.charges)
+    # natom=4, nprim=3 -> chunk floor (1024) still above npairs(=36);
+    # shrink the floor too so several chunks + tail padding are exercised
+    monkeypatch.setattr(oe, "_ROW_BUDGET", 4 * 9 * 10)
+    monkeypatch.setattr(
+        oe, "_pair_chunk",
+        lambda natom, nprim: max(7, oe._ROW_BUDGET // (natom * nprim * nprim)),
+    )
+    got = oe.one_electron(bas, mol.coords, mol.charges)
+    for a, b in zip(ref, got):
+        assert np.abs(a - b).max() == 0.0

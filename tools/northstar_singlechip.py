@@ -1,0 +1,110 @@
+"""Converge the 117-atom north star on ONE TPU chip.
+
+The reference cannot represent this configuration at all: its in-core
+(nao^2, nao^2) ERI operand (ref src/dft_solver.cu:550-555) is ~160 GB at
+nao=377.  The CPU-mesh SPMD validation (tools/converge_northstar.py)
+proved the sharded program converges; this tool proves the SAME physics
+fits and converges on a single v5e chip through the production
+single-device path: Cholesky-DF Fock build (aux-major fast J/K passed
+as jit arguments), fused Pallas XC, blocked dispatch, 'fast' schedule
+with the final f64 energy evaluation.
+
+Run (TPU): python tools/northstar_singlechip.py
+Reads the factorization artifact from tools/northstar_cache.py
+(.cache/northstar_L_<mol>_tol<tol>.npz); writes
+docs/northstar_singlechip.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    t0 = time.time()
+    from quantum_compute_dft_tpu import kohn_sham
+    from quantum_compute_dft_tpu.mol import from_xyz_file
+    from quantum_compute_dft_tpu.scf.driver import scf_host_staged
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mol_name = os.environ.get("NORTHSTAR_MOL", "C33H56N7O17P3S")
+    cd_tol = float(os.environ.get("NORTHSTAR_CD_TOL", "1e-4"))
+    grid_level = int(os.environ.get("NORTHSTAR_GRID_LEVEL", "0"))
+    xc_impl = os.environ.get("NORTHSTAR_XC_IMPL", "fast")
+    mol = from_xyz_file(os.path.join(here, "molecules", f"{mol_name}.xyz"))
+
+    l_path = os.path.join(here, ".cache",
+                          f"northstar_L_{mol_name}_tol{cd_tol:g}.npz")
+    if not os.path.exists(l_path):
+        print(f"missing {l_path}; run tools/northstar_cache.py first")
+        return 1
+    l_vec = np.load(l_path)["l_vec"]
+    print(f"L loaded: shape {l_vec.shape}", flush=True)
+
+    # Becke grid on the HOST: the partition-weight build materializes an
+    # (ngrid_raw x natom x ...) intermediate that XLA fuses into a ~38 GB
+    # buffer at 117 atoms -- fine in 125 GB of host RAM, OOM on a 16 GB
+    # chip.  Everything downstream (integrals, AO eval, SCF) stays on
+    # the TPU.
+    import jax as _jax
+    from quantum_compute_dft_tpu.grids import Grid, build_grid
+
+    with _jax.default_device(_jax.devices("cpu")[0]):
+        g = build_grid(mol, level=grid_level, prune=True)
+        grid = Grid(coords=np.asarray(g.coords),
+                    weights=np.asarray(g.weights),
+                    atom_idx=np.asarray(g.atom_idx))
+    print(f"grid built on host: {grid.ngrid} points "
+          f"({time.time()-t0:.1f}s)", flush=True)
+    setup = kohn_sham.prepare(mol, "B3LYP", grid_level=grid_level,
+                              grid=grid, _df_override=(l_vec, None))
+    t_setup = time.time() - t0
+    print(f"setup {t_setup:.1f}s  nao={setup.nao} ngrid={setup.ngrid} "
+          f"rank={l_vec.shape[2]}", flush=True)
+
+    def cb(cycle, eb, de, dnorm):
+        print(f"{cycle + 1:3d} E={float(eb.e_tot):.8f} de={de:.2e} "
+              f"dn={dnorm:.2e}", flush=True)
+
+    t1 = time.time()
+    r = scf_host_staged(setup.sys, setup.functional, xc_impl=xc_impl,
+                        callback=cb)
+    t_scf = time.time() - t1
+    # warm rerun: the first run pays every remote compile
+    t2 = time.time()
+    r2 = scf_host_staged(setup.sys, setup.functional, xc_impl=xc_impl)
+    t_scf_warm = time.time() - t2
+    out = {
+        "molecule": mol_name,
+        "nao": setup.nao,
+        "ngrid": setup.ngrid,
+        "cd_tol": cd_tol,
+        "cd_rank": int(l_vec.shape[2]),
+        "grid_level": grid_level,
+        "xc_impl": xc_impl,
+        "converged": bool(r2.converged),
+        "n_iter": int(r2.n_iter),
+        "e_tot": float(r2.e_tot),
+        "e_tot_cold": float(r.e_tot),
+        "scf_s_cold": round(t_scf, 2),
+        "scf_s_warm": round(t_scf_warm, 2),
+        "setup_s": round(t_setup, 2),
+        "device": "TPU v5e single chip",
+        "mesh_reference_e": -4233.51589899,  # docs/northstar_convergence.json
+    }
+    path = os.path.join(here, "docs", "northstar_singlechip.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return 0 if r2.converged else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
