@@ -208,8 +208,10 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
 def _tile_for(npad: int, tile: int) -> int:
     # per-tile VMEM scales with tile*npad (streamed planes + temporaries,
     # double-buffered); shrink the grid tile as the AO dim grows so the
-    # working set stays inside the (raised) VMEM budget at DHA-and-up sizes
-    return max(256, tile * 128 // npad)
+    # working set stays inside the (raised) VMEM budget at DHA-and-up sizes.
+    # Keep the tile a lane multiple (128): npad=384 would otherwise yield
+    # 1365, which breaks the (8, tile/8) functional subtiling.
+    return max(256, (tile * 128 // npad) // 128 * 128)
 
 
 # default grid-tile request: npad=128 -> 4096-point tiles, npad=256 ->

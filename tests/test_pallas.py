@@ -139,3 +139,22 @@ def test_mixed_delta_scf_incore_hybrid(monkeypatch):
     r_mix = scf_host_staged(setup.sys, setup.functional, xc_impl="mixed")
     assert r_ref.converged and r_mix.converged
     assert abs(r_mix.e_tot - r_ref.e_tot) < 1e-7
+
+
+def test_pallas_npad384_tile_is_lane_multiple():
+    """nao in (256, 384] (e.g. the 117-atom north star, nao=377) derives a
+    shrunken grid tile; it must stay a lane multiple or the (8, tile/8)
+    functional subtiling breaks (regression: tile=1365 at npad=384)."""
+    assert px._tile_for(384, px.DEFAULT_TILE) % 128 == 0
+    rng = np.random.default_rng(7)
+    g, n = 600, 300  # npad=384
+    ao = jnp.asarray(rng.normal(size=(g, n)) * 0.05)
+    grads = jnp.asarray(rng.normal(size=(3, g, n)) * 0.02)
+    w = jnp.asarray(rng.uniform(0.01, 0.1, size=g))
+    a = rng.normal(size=(n, n)) * 0.02
+    dm = jnp.asarray(a @ a.T)
+    from quantum_compute_dft_tpu.xc import GGA as fn
+    e_ref, v_ref = xc_step(fn, dm, ao, w, grads)
+    e_p, v_p = px.xc_step_pallas(fn, dm, ao, w, grads)
+    assert abs(float(e_p) - float(e_ref)) < 5e-5 * max(1.0, abs(float(e_ref)))
+    assert float(jnp.abs(v_p - v_ref).max()) < 5e-5
