@@ -209,9 +209,10 @@ def _tile_for(npad: int, tile: int) -> int:
     # per-tile VMEM scales with tile*npad (streamed planes + temporaries,
     # double-buffered); shrink the grid tile as the AO dim grows so the
     # working set stays inside the (raised) VMEM budget at DHA-and-up sizes.
-    # Keep the tile a lane multiple (128): npad=384 would otherwise yield
-    # 1365, which breaks the (8, tile/8) functional subtiling.
-    return max(256, (tile * 128 // npad) // 128 * 128)
+    # The (8, tile/8) functional subtiling needs tile/8 to itself be a lane
+    # multiple (Mosaic rejects the shape cast otherwise), so the tile is a
+    # multiple of 1024: npad=384 (the 117-atom north star) -> 1024, not 1365.
+    return max(1024, (tile * 128 // npad) // 1024 * 1024)
 
 
 # default grid-tile request: npad=128 -> 4096-point tiles, npad=256 ->

@@ -145,7 +145,11 @@ def test_pallas_npad384_tile_is_lane_multiple():
     """nao in (256, 384] (e.g. the 117-atom north star, nao=377) derives a
     shrunken grid tile; it must stay a lane multiple or the (8, tile/8)
     functional subtiling breaks (regression: tile=1365 at npad=384)."""
-    assert px._tile_for(384, px.DEFAULT_TILE) % 128 == 0
+    for npad in (128, 256, 384, 512, 640, 1024):
+        t = px._tile_for(npad, px.DEFAULT_TILE)
+        # Mosaic requires the (8, tile/8) subtile shape cast to stay on
+        # whole lanes: tile/8 must be a multiple of 128
+        assert (t // 8) % 128 == 0, (npad, t)
     rng = np.random.default_rng(7)
     g, n = 600, 300  # npad=384
     ao = jnp.asarray(rng.normal(size=(g, n)) * 0.05)
