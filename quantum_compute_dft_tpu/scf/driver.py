@@ -714,12 +714,27 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
 def make_delta_base(sys: SCFSystem, functional: Functional, dm):
     """f64 anchors for the 'delta' tail: one f64 XC + one f64 K + one f64
     J at the anchor density, plus the matching Pallas-f32 XC evaluation
-    whose rounding cancels against later Pallas calls."""
+    whose rounding cancels against later Pallas calls.
+
+    At north-star scale (nao>=256, ngrid~290k) the f64 XC and f64 K each
+    carry multi-GB workspaces; async enqueue lets them coexist in HBM, so
+    the anchor sequences its dispatches with scalar fetches there (a few
+    ~33 ms round-trips per anchor, which happens O(1) times per SCF)."""
+    big = dm.shape[0] >= 256
+
+    def _fence(x):
+        if big:
+            jax.device_get(x if x.ndim == 0 else x[0, 0])
+
     exc0_64, vxc0_64 = xc_step(functional, dm, sys.ao, sys.weights,
                                sys.ao_grad)
+    _fence(exc0_64)
     exc0_32, vxc0_32 = _pallas_xc(sys, functional, dm)
-    k0_hi = (_build_k(sys, dm, hi=True)
-             if functional.hyb_coeff != 0.0 else None)
+    _fence(exc0_32)
+    k0_hi = None
+    if functional.hyb_coeff != 0.0:
+        k0_hi = _build_k(sys, dm, hi=True)
+        _fence(k0_hi)
     j0_64 = _build_j(sys, dm)
     return (dm, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi, j0_64)
 

@@ -69,22 +69,39 @@ def main() -> int:
     print(f"setup {t_setup:.1f}s  nao={setup.nao} ngrid={setup.ngrid} "
           f"rank={l_vec.shape[2]}", flush=True)
 
+    scf_sys = setup.sys
+    functional = setup.functional
+    nao, ngrid = setup.nao, setup.ngrid
+    if xc_impl == "mixed":
+        # HBM budget at nao=377/ngrid=289k: the mixed schedule never
+        # touches the aux-major f64 factor ('fast'-only smooth J,
+        # 1.75 GB) nor the ijq-f32 exchange closure (0.88 GB; cycles use
+        # the aux-major k_arg, anchors use df_exchange_hi over the f64
+        # factor).  Dropping both (and the original KSSetup holding
+        # them) leaves headroom for the f64 anchor programs' multi-GB
+        # workspaces.
+        import dataclasses
+
+        scf_sys = dataclasses.replace(scf_sys, df_b64=None,
+                                      df_exchange=None)
+    setup = None  # release the original SCFSystem's array references
+
     def cb(cycle, eb, de, dnorm):
         print(f"{cycle + 1:3d} E={float(eb.e_tot):.8f} de={de:.2e} "
               f"dn={dnorm:.2e}", flush=True)
 
     t1 = time.time()
-    r = scf_host_staged(setup.sys, setup.functional, xc_impl=xc_impl,
+    r = scf_host_staged(scf_sys, functional, xc_impl=xc_impl,
                         callback=cb)
     t_scf = time.time() - t1
     # warm rerun: the first run pays every remote compile
     t2 = time.time()
-    r2 = scf_host_staged(setup.sys, setup.functional, xc_impl=xc_impl)
+    r2 = scf_host_staged(scf_sys, functional, xc_impl=xc_impl)
     t_scf_warm = time.time() - t2
     out = {
         "molecule": mol_name,
-        "nao": setup.nao,
-        "ngrid": setup.ngrid,
+        "nao": nao,
+        "ngrid": ngrid,
         "cd_tol": cd_tol,
         "cd_rank": int(l_vec.shape[2]),
         "grid_level": grid_level,
