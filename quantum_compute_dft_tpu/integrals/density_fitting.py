@@ -495,8 +495,37 @@ def _df_exchange_f64(b, dm):
     # C C^T = D from an eigh, and TPU's f64 eigh returns NaN outright on
     # the degenerate {0, 2} projector spectrum of a converging density,
     # observed at nao=152); costs nao/nocc ~ 1.5x more FLOPs.
+    if b.shape[0] * b.shape[0] * b.shape[2] > _F64_K_CHUNK_ELEMS:
+        return _df_exchange_f64_chunked(b, dm)
     t = jnp.einsum("ikq,kl->ilq", b, dm)
     return jnp.einsum("ilq,jlq->ij", t, b)
+
+
+# Above this many (nao^2 * naux) factor elements the monolithic f64
+# exchange is uncompilable on a 16 GB chip: TPU f64 matmuls are emulated
+# with multi-pass bf16 splits, and at north-star scale (nao=377,
+# rank=1543) XLA's windowed loop carries four bf16[8, nao, nao, naux]
+# copies (~14 GB) -- the remote compiler dies outright (observed:
+# tpu_compile_helper exit 1 at cycle 129 of the 117-atom run).
+_F64_K_CHUNK_ELEMS = 1.5e8
+
+
+def _df_exchange_f64_chunked(b, dm, chunk: int = 128):
+    """Aux-chunked f64 exchange: K = sum over aux chunks of B_c D B_c^T,
+    one lax.scan step per chunk, peak workspace O(nao^2 chunk) instead of
+    O(nao^2 naux).  Zero-padded aux planes contribute exactly zero."""
+    nao, _, naux = b.shape
+    npad = -(-naux // chunk) * chunk
+    bq = jnp.moveaxis(b, 2, 0)  # (naux, nao, nao): chunk-major for scan
+    bq = jnp.pad(bq, ((0, npad - naux), (0, 0), (0, 0)))
+    bq = bq.reshape(npad // chunk, chunk, nao, nao)
+
+    def step(acc, bc):
+        t = jnp.einsum("qik,kl->qil", bc, dm)
+        return acc + jnp.einsum("qil,qjl->ij", t, bc), None
+
+    k, _ = jax.lax.scan(step, jnp.zeros((nao, nao), b.dtype), bq)
+    return k
 
 
 @jax.jit

@@ -804,6 +804,7 @@ def scf_host_staged(
     delta_base = None
     cycles_since_anchor = 0
     anchor_dnorm = float("inf")
+    dn_hist: list[float] = []  # mixed f32-phase dnorms (stall detector)
     cycle = 0
     while cycle < max_cycle:
         if impl == "delta" and (
@@ -888,8 +889,22 @@ def scf_host_staged(
             if (converged and converged_at is None
                     and not (xc_impl == "mixed" and block_impl == "pallas")):
                 converged_at = cycle + r + 1
+            # stall detector: at large nao the f32 phase's Fock noise
+            # floor can sit ABOVE mixed_switch_tol in |dE| -- observed at
+            # the 117-atom north star, where dnorm bounced around 1e-3
+            # for ~100 cycles before |dE| < 1e-5 happened to fire.  If
+            # the best dnorm seen 8+ cycles ago hasn't improved 2x since,
+            # the phase is at its noise floor: switch to the f64-anchored
+            # delta tail, which converges like the f64 path.
+            if xc_impl == "mixed" and impl == "pallas":
+                dn_hist.append(dnorm)
+                stalled = (len(dn_hist) >= 16 and dnorm < 5e-2
+                           and dnorm > 0.5 * min(dn_hist[:-8]))
+            else:
+                stalled = False
             if xc_impl == "mixed" and impl == "pallas" and (
-                cycle + r > 0 and (converged or abs(de) < mixed_switch_tol)
+                cycle + r > 0
+                and (converged or abs(de) < mixed_switch_tol or stalled)
             ):
                 impl = "delta"  # f64-anchored f32 increments next block
             # feed the controller until its FIRST action in this block:

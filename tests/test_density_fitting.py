@@ -131,6 +131,25 @@ def test_df_fast_tier_within_tolerance():
     assert abs(r_ref.e_tot - r_df.e_tot) < 1e-4
 
 
+def test_chunked_f64_exchange_matches_monolithic():
+    """The aux-chunked f64 exchange (north-star scale path) is exactly
+    the same contraction as the monolithic einsum, including a ragged
+    tail chunk."""
+    from quantum_compute_dft_tpu.integrals.density_fitting import (
+        _df_exchange_f64,
+        _df_exchange_f64_chunked,
+    )
+
+    rng = np.random.default_rng(7)
+    nao, naux = 9, 37  # naux deliberately not a multiple of the chunk
+    b = jnp.asarray(rng.standard_normal((nao, nao, naux)))
+    a = rng.standard_normal((nao, nao))
+    dm = jnp.asarray(a + a.T)
+    k_mono = np.asarray(_df_exchange_f64(b, dm))
+    k_chunk = np.asarray(_df_exchange_f64_chunked(b, dm, chunk=8))
+    assert np.abs(k_mono - k_chunk).max() < 1e-12
+
+
 def test_numeric_solid_harmonics_match_hand_table():
     from quantum_compute_dft_tpu.basis.basis_set import (
         SPH_FROM_CART,
