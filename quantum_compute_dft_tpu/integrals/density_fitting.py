@@ -395,8 +395,37 @@ def _df_coulomb(j3c, v_pinv, dm):
 @jax.jit
 def _cd_coulomb(l_vec, dm):
     """J from Cholesky vectors (identity metric)."""
+    if l_vec.shape[0] * l_vec.shape[0] * l_vec.shape[2] > _F64_K_CHUNK_ELEMS:
+        return _cd_coulomb_chunked(l_vec, dm)
     rho = jnp.einsum("ijq,ij->q", l_vec, dm)
     return jnp.einsum("ijq,q->ij", l_vec, rho)
+
+
+def _cd_coulomb_chunked(l_vec, dm, chunk: int = 128):
+    """Aux-chunked f64 J for north-star scale: like _df_exchange_f64_chunked,
+    the monolithic einsum's emulated-f64 program kills the remote compiler
+    at (377, 377, 1543) (observed: tpu_compile_helper exit 1 in the delta
+    anchor's j0_64 build).  J is linear in the aux planes, so the chunk
+    sum is exact."""
+    bq = _aux_chunked(l_vec, chunk)
+
+    def step(acc, bc):
+        rho_c = jnp.einsum("qij,ij->q", bc, dm)
+        return acc + jnp.einsum("qij,q->ij", bc, rho_c), None
+
+    nao = l_vec.shape[0]
+    j, _ = jax.lax.scan(step, jnp.zeros((nao, nao), l_vec.dtype), bq)
+    return j
+
+
+def _aux_chunked(b, chunk: int):
+    """(nao, nao, naux) -> (nchunk, chunk, nao, nao) with zero-padded aux
+    tail (zero planes contribute exactly zero to J and K)."""
+    nao, _, naux = b.shape
+    npad = -(-naux // chunk) * chunk
+    bq = jnp.moveaxis(b, 2, 0)
+    bq = jnp.pad(bq, ((0, npad - naux), (0, 0), (0, 0)))
+    return bq.reshape(npad // chunk, chunk, nao, nao)
 
 
 @jax.jit
@@ -514,11 +543,8 @@ def _df_exchange_f64_chunked(b, dm, chunk: int = 128):
     """Aux-chunked f64 exchange: K = sum over aux chunks of B_c D B_c^T,
     one lax.scan step per chunk, peak workspace O(nao^2 chunk) instead of
     O(nao^2 naux).  Zero-padded aux planes contribute exactly zero."""
-    nao, _, naux = b.shape
-    npad = -(-naux // chunk) * chunk
-    bq = jnp.moveaxis(b, 2, 0)  # (naux, nao, nao): chunk-major for scan
-    bq = jnp.pad(bq, ((0, npad - naux), (0, 0), (0, 0)))
-    bq = bq.reshape(npad // chunk, chunk, nao, nao)
+    nao = b.shape[0]
+    bq = _aux_chunked(b, chunk)
 
     def step(acc, bc):
         t = jnp.einsum("qik,kl->qil", bc, dm)

@@ -149,6 +149,15 @@ def test_chunked_f64_exchange_matches_monolithic():
     k_chunk = np.asarray(_df_exchange_f64_chunked(b, dm, chunk=8))
     assert np.abs(k_mono - k_chunk).max() < 1e-12
 
+    from quantum_compute_dft_tpu.integrals.density_fitting import (
+        _cd_coulomb,
+        _cd_coulomb_chunked,
+    )
+
+    j_mono = np.asarray(_cd_coulomb(b, dm))
+    j_chunk = np.asarray(_cd_coulomb_chunked(b, dm, chunk=8))
+    assert np.abs(j_mono - j_chunk).max() < 1e-12
+
 
 def test_numeric_solid_harmonics_match_hand_table():
     from quantum_compute_dft_tpu.basis.basis_set import (
