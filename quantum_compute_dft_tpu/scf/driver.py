@@ -875,6 +875,7 @@ def scf_host_staged(
         dnorm_prev_entry = dnorm_prev
         converged_at = None
         shift_acted = False
+        delta_fresh_diis = False
         for r in range(stats.shape[0]):
             stat = stats[r]
             e_tot, dnorm = float(stat[0]), float(stat[1])
@@ -907,6 +908,14 @@ def scf_host_staged(
                 and (converged or abs(de) < mixed_switch_tol or stalled)
             ):
                 impl = "delta"  # f64-anchored f32 increments next block
+                # drop the f32-phase DIIS history at the precision
+                # switch: its Fock iterates carry the f32 noise floor,
+                # and extrapolating the parity-grade delta Focks against
+                # them pins the endgame AT that floor (observed at the
+                # 117-atom north star: 160 post-switch cycles grinding
+                # from 1e-3 to 1e-5, vs 51 total for the all-f64 mesh
+                # run whose history was precision-consistent)
+                delta_fresh_diis = True
             # feed the controller until its FIRST action in this block:
             # rows after an engage/escalate/release ran under the OLD
             # shift, and feeding them would e.g. release a shift that
@@ -933,6 +942,8 @@ def scf_host_staged(
             return SCFResult(True, converged_at, dm_new, eb, e_tot,
                              level_shift=shiftc.shift,
                              shift_engaged_at=shiftc.engaged_at)
+        if delta_fresh_diis and not shift_acted:
+            diis = diis_init(dm.shape[0])  # see the switch-branch note
         if (n == 1 and dnorm > DAMP_MIN_DNORM
                 and dnorm >= DAMP_RATIO * dnorm_prev_entry):
             dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above

@@ -38,6 +38,13 @@ def main() -> int:
     cd_tol = float(os.environ.get("NORTHSTAR_CD_TOL", "1e-4"))
     grid_level = int(os.environ.get("NORTHSTAR_GRID_LEVEL", "0"))
     xc_impl = os.environ.get("NORTHSTAR_XC_IMPL", "fast")
+    # the 117-atom system needs ~40 f32 + O(100) delta cycles; the
+    # reference's 200-cap is for its (much smaller) molecule set
+    max_cycle = int(os.environ.get("NORTHSTAR_MAX_CYCLE", "400"))
+    # all integral/cycle programs are in the persistent compile cache
+    # after the first attempt, so a single run IS the warm measurement;
+    # set =1 to pay a full second SCF for a same-process warm number
+    warm_rerun = os.environ.get("NORTHSTAR_WARM_RERUN", "0") == "1"
     mol = from_xyz_file(os.path.join(here, "molecules", f"{mol_name}.xyz"))
 
     l_path = os.path.join(here, ".cache",
@@ -92,12 +99,8 @@ def main() -> int:
 
     t1 = time.time()
     r = scf_host_staged(scf_sys, functional, xc_impl=xc_impl,
-                        callback=cb)
+                        callback=cb, max_cycle=max_cycle)
     t_scf = time.time() - t1
-    # warm rerun: the first run pays every remote compile
-    t2 = time.time()
-    r2 = scf_host_staged(scf_sys, functional, xc_impl=xc_impl)
-    t_scf_warm = time.time() - t2
     out = {
         "molecule": mol_name,
         "nao": nao,
@@ -106,21 +109,27 @@ def main() -> int:
         "cd_rank": int(l_vec.shape[2]),
         "grid_level": grid_level,
         "xc_impl": xc_impl,
-        "converged": bool(r2.converged),
-        "n_iter": int(r2.n_iter),
-        "e_tot": float(r2.e_tot),
-        "e_tot_cold": float(r.e_tot),
-        "scf_s_cold": round(t_scf, 2),
-        "scf_s_warm": round(t_scf_warm, 2),
+        "max_cycle": max_cycle,
+        "converged": bool(r.converged),
+        "n_iter": int(r.n_iter),
+        "e_tot": float(r.e_tot),
+        "scf_s": round(t_scf, 2),
         "setup_s": round(t_setup, 2),
         "device": "TPU v5e single chip",
         "mesh_reference_e": -4233.51589899,  # docs/northstar_convergence.json
     }
+    if warm_rerun:
+        t2 = time.time()
+        r2 = scf_host_staged(scf_sys, functional, xc_impl=xc_impl,
+                             max_cycle=max_cycle)
+        out["scf_s_warm"] = round(time.time() - t2, 2)
+        out["e_tot_warm"] = float(r2.e_tot)
+        out["converged_warm"] = bool(r2.converged)
     path = os.path.join(here, "docs", "northstar_singlechip.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
-    return 0 if r2.converged else 2
+    return 0 if r.converged else 2
 
 
 if __name__ == "__main__":
