@@ -546,6 +546,13 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     term anchors to the f64 evaluation at dm0 (see scf_iteration_staged);
     J and K apply fast increments by linearity (error ~1e-5 x increment,
     parity-negligible).
+    base=(dm0, k0_hi, j0_64): the 'delta64' endgame -- exc_in/vxc_in
+    already come from the f64 XC engine (no anchor cancellation needed;
+    XC is the only NONLINEAR Fock term, so its f32 delta noise is the
+    noise of a full evaluation and scales with nao -- at nao=377 that
+    floor sits at ||dD||~1e-5, above the 1e-6 criterion), while J/K keep
+    the exact-by-linearity fast increments whose noise shrinks with the
+    remaining error.
     """
     c_hf = functional.hyb_coeff
     if base is None:
@@ -575,6 +582,15 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
             k = _fast_k(sys, dm, k_arg)
         else:
             k = _build_k(sys, dm, hi=k_hi)
+    elif len(base) == 3:
+        # delta64 endgame: f64 XC passthrough, J/K anchored by linearity
+        dm0_b, k0_hi, j0_64 = base
+        e_xc, vxc = exc_in, vxc_in
+        j = j0_64 + _fast_j(sys, dm - dm0_b, k_arg)
+        if c_hf != 0.0:
+            k = k0_hi + _fast_k(sys, dm - dm0_b, k_arg)
+        else:
+            k = jnp.zeros_like(j)
     else:
         dm0_b, exc0_64, vxc0_64, exc0_32, vxc0_32, k0_hi, j0_64 = base
         # J is linear in D: J64(dm0) + Jfast(dm - dm0) is exact up to
@@ -669,9 +685,12 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     dispatches per cycle is the sweet spot.
 
     xc_impl: 'f64' (parity path), 'pallas' (fused f32 TPU kernel, ~20x
-    faster per call), or 'delta' (f32 increments on an f64 anchor --
-    pass delta_base from make_delta_base).  Returns (dm_new, diis,
-    stat6) with stat6 = [e_tot, dnorm, e_one, e_coul, e_xc, e_ex]."""
+    faster per call), 'delta' (f32 increments on an f64 anchor -- pass
+    delta_base from make_delta_base), or 'delta64' (f64 XC every cycle +
+    J/K anchored by linearity -- the endgame for systems whose nao-scaled
+    f32 XC delta noise sits above the ||dD|| criterion; pass the SAME
+    delta_base).  Returns (dm_new, diis, stat6) with
+    stat6 = [e_tot, dnorm, e_one, e_coul, e_xc, e_ex]."""
     from quantum_compute_dft_tpu.utils.profiling import PhaseTimer
 
     fence = timer is not None  # only fence phases when someone is timing:
@@ -697,6 +716,19 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
             )
             if fence:
                 jax.block_until_ready(stat)
+        return dm_new, diis, stat
+    if xc_impl == "delta64":
+        # f64 XC engine (separate dispatch -- the remote compiler is
+        # superlinear in graph size) + the J/K-anchored fused tail
+        with timer.phase("xc", sync=None):
+            exc_in, vxc_in = xc_step(functional, dm, sys.ao, sys.weights,
+                                     sys.ao_grad)
+        with timer.phase("cycle_tail"):
+            base3 = (delta_base[0], delta_base[5], delta_base[6])
+            dm_new, diis, stat = _cycle_tail(
+                sys, functional, dm, diis, exc_in, vxc_in, base3,
+                k_hi=True, shift=shift, smear_kt=smear_kt, k_arg=k_arg,
+            )
         return dm_new, diis, stat
     with timer.phase("xc", sync=None):
         exc_in, vxc_in = xc_step(functional, dm, sys.ao, sys.weights,
@@ -760,6 +792,13 @@ def scf_host_staged(
     # costs more than it saves (measured DHA: off 3.4 s/35 cyc vs
     # on 4.6 s/37 cyc -- each refresh pays a ~1 s f64 anchor)
     near_refresh: bool = False,
+    # f64-XC endgame for the mixed schedule: 'auto' enters it when the
+    # delta tail stalls at its f32-XC noise floor (XC is the only
+    # nonlinear Fock term -- its delta noise is a FULL f32 evaluation's
+    # and scales with nao; observed ||dD|| floor ~1e-5 at nao=377, above
+    # the 1e-6 criterion), 'on' enters it straight at the precision
+    # switch (tests), 'off' never
+    xc64_tail: str = "auto",
 ) -> SCFResult:
     """xc_impl: 'f64', 'pallas', 'mixed', or 'fast'.
 
@@ -805,8 +844,15 @@ def scf_host_staged(
     cycles_since_anchor = 0
     anchor_dnorm = float("inf")
     dn_hist: list[float] = []  # mixed f32-phase dnorms (stall detector)
+    dn_hist64: list[float] = []  # delta-phase dnorms (f64-XC endgame)
     cycle = 0
     while cycle < max_cycle:
+        if impl == "delta64" and delta_base is None:
+            # entered straight from the pallas phase (xc64_tail='on'):
+            # build the J/K anchors once; no refresh is ever needed --
+            # the linear increments' noise shrinks with the remaining
+            # error regardless of anchor staleness
+            delta_base = make_delta_base(sys, functional, dm)
         if impl == "delta" and (
             delta_base is None or cycles_since_anchor >= delta_refresh
             # optional near-convergence re-anchoring (off by default --
@@ -907,7 +953,10 @@ def scf_host_staged(
                 cycle + r > 0
                 and (converged or abs(de) < mixed_switch_tol or stalled)
             ):
-                impl = "delta"  # f64-anchored f32 increments next block
+                # f64-anchored f32 increments next block ('on' skips the
+                # delta tail entirely and goes straight to the f64-XC
+                # endgame -- the plumbing-test mode)
+                impl = "delta64" if xc64_tail == "on" else "delta"
                 # drop the f32-phase DIIS history at the precision
                 # switch: its Fock iterates carry the f32 noise floor,
                 # and extrapolating the parity-grade delta Focks against
@@ -916,6 +965,21 @@ def scf_host_staged(
                 # from 1e-3 to 1e-5, vs 51 total for the all-f64 mesh
                 # run whose history was precision-consistent)
                 delta_fresh_diis = True
+            # delta-phase stall detector -> f64-XC endgame: when the best
+            # ||dD|| seen 8+ cycles ago hasn't improved 2x since, the
+            # tail sits at its f32-XC-difference noise floor (scales with
+            # nao; ~1e-5 at the 117-atom north star, which bounced there
+            # for 200+ cycles).  Switch XC to the f64 engine per cycle
+            # (J/K stay anchored -- exact by linearity) and drop the
+            # noise-floor DIIS history.
+            if (xc_impl == "mixed" and impl == "delta"
+                    and xc64_tail == "auto"):
+                dn_hist64.append(dnorm)
+                if (len(dn_hist64) >= 16 and dnorm < 1e-3
+                        and dnorm > conv_tol_d
+                        and dnorm > 0.5 * min(dn_hist64[:-8])):
+                    impl = "delta64"
+                    delta_fresh_diis = True
             # feed the controller until its FIRST action in this block:
             # rows after an engage/escalate/release ran under the OLD
             # shift, and feeding them would e.g. release a shift that
@@ -930,7 +994,7 @@ def scf_host_staged(
             dnorm_prev = dnorm
             e_old = e_tot
         if converged_at is not None:
-            if block_impl == "delta" or xc_impl == "fast":
+            if block_impl in ("delta", "delta64") or xc_impl == "fast":
                 # report parity-grade energies: one full f64 evaluation
                 # of the density actually returned (end of block --
                 # past convergence every extra cycle stays at the fixed

@@ -127,6 +127,25 @@ def test_fast_scf_matches_f64(monkeypatch):
 
 
 @pytest.mark.slow
+def test_mixed_delta64_endgame_matches_f64(monkeypatch):
+    """The f64-XC endgame (xc64_tail='on': every post-switch cycle runs
+    the f64 XC engine with J/K anchored by linearity): must converge and
+    reproduce the f64 result.  On hardware this path engages
+    automatically when the delta tail stalls at its nao-scaled f32-XC
+    noise floor (the 117-atom north star bounced at ||dD||~1e-5 for 200+
+    cycles without it)."""
+    from quantum_compute_dft_tpu.scf.driver import scf_host_staged
+
+    setup = kohn_sham.prepare(from_atoms(H2O), "B3LYP", grid_level=0,
+                              density_fit=True)
+    r_ref = scf_host_staged(setup.sys, setup.functional, xc_impl="f64")
+    r_64 = scf_host_staged(setup.sys, setup.functional, xc_impl="mixed",
+                           xc64_tail="on")
+    assert r_ref.converged and r_64.converged
+    assert abs(r_64.e_tot - r_ref.e_tot) < 1e-7, (r_64.e_tot, r_ref.e_tot)
+
+
+@pytest.mark.slow
 def test_mixed_delta_scf_incore_hybrid(monkeypatch):
     """The delta tail with an IN-CORE hybrid (sys.eri present): the K
     anchor must be built there too -- caught live on TPU as
