@@ -19,16 +19,19 @@ jax.config.update("jax_enable_x64", True)
 # every invocation); disable with DFT_JAX_CACHE=0.  CPU-only processes
 # skip it -- sharing one cache dir across heterogeneous machines triggers
 # mismatched-feature AOT loads (SIGILL risk).
+_DEFAULT_CACHE = os.path.join(
+    os.path.expanduser("~"), ".cache", "quantum_compute_dft_tpu_jax"
+)
 _cache_dir = os.environ.get("DFT_JAX_CACHE", "")
+if _cache_dir == "1":  # "1" means "on at the default location", not a dir named 1/
+    _cache_dir = _DEFAULT_CACHE
 if not _cache_dir:
     try:
         _on_tpu = any(d.platform != "cpu" for d in jax.devices())
     except Exception:
         _on_tpu = False
     if _on_tpu:
-        _cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "quantum_compute_dft_tpu_jax"
-        )
+        _cache_dir = _DEFAULT_CACHE
 if _cache_dir and _cache_dir != "0":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
