@@ -278,9 +278,24 @@ def main() -> int:
             except Exception as e:  # keep the headline bench robust
                 extra["dha_shape"] = {"error": f"{type(e).__name__}: {e}"}
 
+    # speedup vs the first recorded round (the reference publishes no
+    # numbers, BASELINE.md): env override, else BENCH_r01.json when it
+    # measured the same config, else 1.0 (this run IS the baseline)
     vs_baseline = 1.0
     if BASELINE_S:
         vs_baseline = float(BASELINE_S) / scf_s
+    else:
+        r1 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_r01.json")
+        try:
+            with open(r1) as f:
+                p = json.load(f).get("parsed", {})
+            if p.get("metric") == (f"{MOLECULE.lower()}_"
+                                   f"{setup.functional.name.lower()}"
+                                   "_scf_wallclock") and p.get("value"):
+                vs_baseline = float(p["value"]) / scf_s
+        except (OSError, ValueError):
+            pass
 
     extra["total_s"] = round(time.time() - t_all, 2)
     result = {

@@ -126,6 +126,26 @@ def test_h2o_rhf_literature():
     assert abs(_rhf(from_atoms(h2o)) - (-74.965901)) < 1e-5
 
 
+def test_atomic_sto3g_literature():
+    """Published STO-3G SCF atomic energies (Hehre-Stewart-Pople STO-3G
+    papers; single-basis-function closed forms, independent of the SCF
+    driver): H = h11, He = 2*h11 + (11|11)."""
+    from quantum_compute_dft_tpu.basis import build_basis
+    from quantum_compute_dft_tpu.integrals import eri_full
+
+    h = from_atoms([("H", (0.0, 0.0, 0.0))])
+    bas = build_basis(h)
+    s, t, v = one_electron(bas, h.coords, h.charges)
+    assert abs(float(t[0, 0] + v[0, 0]) - (-0.4665819)) < 1e-6
+
+    he = from_atoms([("He", (0.0, 0.0, 0.0))])
+    bas = build_basis(he)
+    s, t, v = one_electron(bas, he.coords, he.charges)
+    eri = eri_full(bas)
+    e_he = 2.0 * float(t[0, 0] + v[0, 0]) + float(eri[0, 0, 0, 0])
+    assert abs(e_he - (-2.807784)) < 1e-6
+
+
 def test_rotational_invariance_p_shells():
     h2o = [
         ("O", (0.0, 0.0, 0.127)),
