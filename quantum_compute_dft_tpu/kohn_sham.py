@@ -50,6 +50,7 @@ def prepare(
     density_fit: bool | None = None,
     df_aux: str = "parity",
     _df_override: tuple | None = None,
+    skip_fast_b64: bool = False,
 ) -> KSSetup:
     """CPU/host data build + device upload (ref dft.py:118-176).
 
@@ -208,9 +209,12 @@ def prepare(
         # aux-major f64 Cholesky factor as a passable jit argument (the
         # 'fast' schedule's smooth J; see _cd_coulomb_q); skipped on the
         # pure-CPU backend along with the fast builders
+        # skip_fast_b64: the mixed schedule never runs the 'fast' smooth-J
+        # (_cd_coulomb_q); at north-star scale this transpose copy is
+        # ~2 GB of HBM that would be dropped immediately after prepare
         df_b64=(jnp.transpose(j3c_dev, (2, 0, 1))
                 if (density_fit or _df_override) and v2c is None
-                and df_j_fast is not None
+                and df_j_fast is not None and not skip_fast_b64
                 else None),
         df_bq32=bq32 if density_fit or _df_override else None,
         sad_occ=sad_occupations(basis, mol.charges, mol.nelec),

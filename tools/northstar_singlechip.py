@@ -59,19 +59,32 @@ def main() -> int:
     # (ngrid_raw x natom x ...) intermediate that XLA fuses into a ~38 GB
     # buffer at 117 atoms -- fine in 125 GB of host RAM, OOM on a 16 GB
     # chip.  Everything downstream (integrals, AO eval, SCF) stays on
-    # the TPU.
+    # the TPU.  Cached under the same setup_cache key kohn_sham.prepare
+    # uses, so a host-side prebuild (JAX_PLATFORMS=cpu) feeds this run.
     import jax as _jax
+    from quantum_compute_dft_tpu import setup_cache
+    from quantum_compute_dft_tpu.basis import build_basis
     from quantum_compute_dft_tpu.grids import Grid, build_grid
 
-    with _jax.default_device(_jax.devices("cpu")[0]):
-        g = build_grid(mol, level=grid_level, prune=True)
-        grid = Grid(coords=np.asarray(g.coords),
-                    weights=np.asarray(g.weights),
-                    atom_idx=np.asarray(g.atom_idx))
+    gkey = (f"{setup_cache.molecule_basis_key(mol, build_basis(mol))}"
+            f"_L{grid_level}_p1")
+    hit = setup_cache.load("grid", gkey, ("coords", "weights", "atom_idx"))
+    if hit is not None:
+        grid = Grid(coords=hit[0], weights=hit[1], atom_idx=hit[2])
+        print(f"grid cache hit: {grid.ngrid} points", flush=True)
+    else:
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            g = build_grid(mol, level=grid_level, prune=True)
+            grid = Grid(coords=np.asarray(g.coords),
+                        weights=np.asarray(g.weights),
+                        atom_idx=np.asarray(g.atom_idx))
+        setup_cache.store("grid", gkey, coords=grid.coords,
+                          weights=grid.weights, atom_idx=grid.atom_idx)
     print(f"grid built on host: {grid.ngrid} points "
           f"({time.time()-t0:.1f}s)", flush=True)
     setup = kohn_sham.prepare(mol, "B3LYP", grid_level=grid_level,
-                              grid=grid, _df_override=(l_vec, None))
+                              grid=grid, _df_override=(l_vec, None),
+                              skip_fast_b64=(xc_impl == "mixed"))
     t_setup = time.time() - t0
     print(f"setup {t_setup:.1f}s  nao={setup.nao} ngrid={setup.ngrid} "
           f"rank={l_vec.shape[2]}", flush=True)
@@ -125,7 +138,8 @@ def main() -> int:
         out["scf_s_warm"] = round(time.time() - t2, 2)
         out["e_tot_warm"] = float(r2.e_tot)
         out["converged_warm"] = bool(r2.converged)
-    path = os.path.join(here, "docs", "northstar_singlechip.json")
+    suffix = "" if grid_level == 0 else f"_L{grid_level}"
+    path = os.path.join(here, "docs", f"northstar_singlechip{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
