@@ -254,23 +254,41 @@ def main(argv=None) -> int:
 
     use_pallas = args.xc_impl in ("pallas", "mixed", "fast") and \
         jax.default_backend() not in ("cpu",)
-    if use_pallas:
+    xc_fn = None
+    if setup.sys.ao is None:
+        # lean-AO mode (no persistent f64 planes): time the per-cycle
+        # Pallas path through the driver's packed-plane cache -- unless
+        # the delta64 endgame already dropped it (drop_packed)
+        from quantum_compute_dft_tpu.scf.driver import (
+            _PALLAS_PACK_CACHE,
+            _pallas_xc,
+        )
+
+        if setup.sys in _PALLAS_PACK_CACHE:
+            xc_fn = lambda f, d, ao, w, g: _pallas_xc(setup.sys, f, d)  # noqa: E731
+            xc_label = "pallas f32 (lean)"
+        else:
+            xc_label = "lean (packed planes dropped; not timed)"
+    elif use_pallas:
         from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas
 
         xc_fn = xc_step_pallas
+        xc_label = "pallas f32"
     else:
         xc_fn = xc_step
-    exc, vxc = xc_fn(setup.functional, dm, setup.sys.ao, setup.sys.weights,
-                     setup.sys.ao_grad)
-    jax.block_until_ready(vxc)
-    reps = 10
-    t0 = time.time()
-    for _ in range(reps):
+        xc_label = "f64"
+    xc_ms = float("nan")
+    if xc_fn is not None:
         exc, vxc = xc_fn(setup.functional, dm, setup.sys.ao,
                          setup.sys.weights, setup.sys.ao_grad)
-    jax.block_until_ready(vxc)
-    xc_ms = (time.time() - t0) / reps * 1000.0
-    xc_label = "pallas f32" if use_pallas else "f64"
+        jax.block_until_ready(vxc)
+        reps = 10
+        t0 = time.time()
+        for _ in range(reps):
+            exc, vxc = xc_fn(setup.functional, dm, setup.sys.ao,
+                             setup.sys.weights, setup.sys.ao_grad)
+        jax.block_until_ready(vxc)
+        xc_ms = (time.time() - t0) / reps * 1000.0
 
     print("-" * 80)
     if converged:

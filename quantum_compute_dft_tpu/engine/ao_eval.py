@@ -73,6 +73,68 @@ def _eval_chunk(coords, centers, powers, alphas, weights, with_grad: bool):
     return ao, jnp.stack(grads)                           # (G,nao), (3,G,nao)
 
 
+def device_tables(basis: "BasisSet"):
+    """Small device-resident basis tables consumed by _eval_chunk --
+    the streamed-AO XC path (engine.xc_engine.xc_step_onfly) carries
+    these (~1 MB) instead of the multi-GB (ngrid, nao) planes."""
+    return (jnp.asarray(basis.ao_centers), jnp.asarray(basis.term_powers),
+            jnp.asarray(basis.term_alphas), jnp.asarray(basis.term_weights))
+
+
+def eval_ao_tables(tables, coords, deriv: int = 0, chunk: int = 16384,
+                   as_numpy: bool = False):
+    """eval_ao from prebuilt device_tables (coords may be a device array);
+    used to materialize the f64 planes late (the lean-AO SCF's delta64
+    endgame) without rebuilding the BasisSet."""
+    centers, powers, alphas, weights = tables
+    n = coords.shape[0]
+    aos, gs = [], []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        ao, g = _eval_chunk(
+            jnp.asarray(coords[s:e]), centers, powers, alphas, weights,
+            deriv >= 1,
+        )
+        aos.append(np.asarray(ao) if as_numpy else ao)
+        if deriv >= 1:
+            gs.append(np.asarray(g) if as_numpy else g)
+    cat = np.concatenate if as_numpy else jnp.concatenate
+    ao = cat(aos)
+    if deriv == 0:
+        return ao
+    return ao, cat(gs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("needs_grad", "chunk"))
+def eval_planes_scan(coords_pad, tables, needs_grad: bool, chunk: int):
+    """Materialize full f64 AO (+grad) planes on device with peak HBM of
+    planes + ONE chunk: a lax.scan whose carry is the output buffer
+    (XLA aliases scan carries in place), vs. the eval_ao concatenate
+    path whose chunk list + result double-buffers the ~6.5 GB plane set
+    at north-star scale.  coords_pad must be a chunk multiple (caller
+    zero-pads); returns (ao (G, nao), grad (3, G, nao) | None)."""
+    centers, powers, alphas, tweights = tables
+    nc = coords_pad.shape[0] // chunk
+    crd = coords_pad.reshape(nc, chunk, 3)
+    nao = centers.shape[0]
+    ao0 = jnp.zeros((nc * chunk, nao), jnp.float64)
+    g0 = (jnp.zeros((3, nc * chunk, nao), jnp.float64) if needs_grad
+          else jnp.zeros((0,), jnp.float64))
+
+    def body(carry, blk):
+        ao_acc, g_acc = carry
+        i, crd_b = blk
+        a, g = _eval_chunk(crd_b, centers, powers, alphas, tweights,
+                           needs_grad)
+        ao_acc = jax.lax.dynamic_update_slice(ao_acc, a, (i * chunk, 0))
+        if needs_grad:
+            g_acc = jax.lax.dynamic_update_slice(g_acc, g, (0, i * chunk, 0))
+        return (ao_acc, g_acc), None
+
+    (ao, g), _ = jax.lax.scan(body, (ao0, g0), (jnp.arange(nc), crd))
+    return ao, (g if needs_grad else None)
+
+
 def eval_ao(
     basis: BasisSet,
     coords: np.ndarray,

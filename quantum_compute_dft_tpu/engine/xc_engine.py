@@ -116,6 +116,65 @@ def _xc_scan(functional: Functional, dm, ao, weights, ao_grad,
     return exc, (v_half if want_v else None)
 
 
+_ONFLY_CHUNK = 8192
+
+
+def _xc_scan_onfly(functional: Functional, dm, coords, weights, tables,
+                   want_v: bool):
+    """Streamed variant of _xc_scan: the f64 AO values (and gradients)
+    are evaluated ON DEVICE per grid chunk inside the scan body instead
+    of being read from persistent (ngrid, nao) planes.  At the 117-atom
+    north-star scale the f64 AO+grad planes are ~6.5 GB of HBM that the
+    anchor/final-parity evaluations only touch O(1) times per SCF --
+    recomputing them chunk-wise (identical _eval_chunk math, so the AO
+    values are bitwise those of the plane path) trades a few seconds per
+    anchor for the headroom that lets grid level 1+ fit on one chip.
+
+    tables = (centers, powers, alphas, term_weights) device arrays from
+    ao_eval.device_tables.  Padded grid rows carry zero quadrature
+    weight, so both the energy and the B-matrix contributions vanish."""
+    from quantum_compute_dft_tpu.engine.ao_eval import _eval_chunk
+
+    centers, powers, alphas, tweights = tables
+    g = coords.shape[0]
+    c = _ONFLY_CHUNK
+    pad = (-g) % c
+    crd = jnp.pad(coords, ((0, pad), (0, 0))).reshape(-1, c, 3)
+    w_p = jnp.pad(weights, (0, pad)).reshape(-1, c)
+
+    def body(carry, blk):
+        exc_acc, v_acc = carry
+        crd_b, w_b = blk
+        ao_b, gr_b = _eval_chunk(crd_b, centers, powers, alphas, tweights,
+                                 functional.needs_grad)
+        grt = None if gr_b is None else jnp.swapaxes(gr_b, 1, 2)
+        exc, v_half = _xc_block(functional, dm, ao_b.T, w_b, grt,
+                                want_v=want_v)
+        return (exc_acc + exc,
+                v_acc + v_half if want_v else v_acc), None
+
+    zero = jnp.zeros((), dm.dtype)
+    (exc, v_half), _ = jax.lax.scan(body, (zero, jnp.zeros_like(dm)),
+                                    (crd, w_p))
+    return exc, (v_half if want_v else None)
+
+
+@functools.partial(jax.jit, static_argnames=("functional",))
+def xc_step_onfly(functional: Functional, dm, coords, weights, tables):
+    """xc_step with on-device streamed AO evaluation (see _xc_scan_onfly)."""
+    exc, v_half = _xc_scan_onfly(functional, dm, coords, weights, tables,
+                                 want_v=True)
+    return exc, 0.5 * (v_half + v_half.T)
+
+
+@functools.partial(jax.jit, static_argnames=("functional",))
+def xc_energy_onfly(functional: Functional, dm, coords, weights, tables):
+    """xc_energy with on-device streamed AO evaluation."""
+    exc, _ = _xc_scan_onfly(functional, dm, coords, weights, tables,
+                            want_v=False)
+    return exc
+
+
 @functools.partial(jax.jit, static_argnames=("functional",))
 def xc_step(
     functional: Functional,

@@ -51,6 +51,7 @@ def prepare(
     df_aux: str = "parity",
     _df_override: tuple | None = None,
     skip_fast_b64: bool = False,
+    lean_ao: bool | None = None,
 ) -> KSSetup:
     """CPU/host data build + device upload (ref dft.py:118-176).
 
@@ -198,6 +199,40 @@ def prepare(
         ao_grad = None
     _tick("ao_eval")
 
+    # Lean-AO mode (large-scale TPU runs): the persistent f64 AO+grad
+    # planes are (1+3)*ngrid*nao*8 bytes of HBM -- 6.5 GB at the
+    # 117-atom north star with a level-1 grid, which together with the
+    # DF factors and the packed f32 planes overflows the 16 GB chip.
+    # The f64 planes are only touched O(1) times per SCF (delta
+    # anchors, final parity energy), so: pack the per-cycle f32 Pallas
+    # planes NOW (from the transient f64 planes), free the f64 planes,
+    # and let the f64 XC evaluations stream on-device AO chunks
+    # (engine.xc_engine.xc_step_onfly; bitwise the same AO values).
+    # The delta64 endgame re-materializes f64 planes once, swapping
+    # them for the then-unused packed planes (scf.driver).
+    plane_bytes = (1 + 3 * int(fn.needs_grad)) * grid.ngrid * basis.nao * 8
+    if lean_ao is None:
+        lean_ao = (not as_numpy and _jax.default_backend() != "cpu"
+                   and plane_bytes > 3.5e9)
+    ao_tables = None
+    packed_ent = None
+    if lean_ao:
+        import jax.numpy as jnp
+
+        from quantum_compute_dft_tpu.engine.ao_eval import device_tables
+        from quantum_compute_dft_tpu.engine.pallas_xc import (
+            pack_pallas_inputs,
+        )
+
+        packed_ent = pack_pallas_inputs(ao, grid.weights, ao_grad,
+                                        n_grad=fn.needs_grad)
+        # force the pack before dropping the f64 planes
+        _jax.block_until_ready(packed_ent[0])
+        ao = ao_grad = None
+        ao_tables = (jnp.asarray(grid.coords, jnp.float64),
+                     device_tables(basis))
+        _tick("lean_pack")
+
     from quantum_compute_dft_tpu.basis.basis_set import sad_occupations
 
     sys = make_system(
@@ -219,7 +254,12 @@ def prepare(
         df_bq32=bq32 if density_fit or _df_override else None,
         sad_occ=sad_occupations(basis, mol.charges, mol.nelec),
         nopen=mol.nopen,
+        ao_tables=ao_tables,
     )
+    if packed_ent is not None:
+        from quantum_compute_dft_tpu.scf.driver import seed_packed
+
+        seed_packed(sys, fn.needs_grad, packed_ent)
     _tick("make_system")
     return KSSetup(
         sys=sys,

@@ -174,7 +174,10 @@ class SCFSystem:
     s: jnp.ndarray
     x: jnp.ndarray            # S^(-1/2)
     eri: jnp.ndarray | None   # (nao,)*4 in-core ERIs (None in DF mode)
-    ao: jnp.ndarray           # (ngrid, nao)
+    # f64 AO planes; None in lean-AO mode (large-scale TPU runs), where
+    # the f64 XC evaluations stream on-device AO chunks from ao_tables
+    # instead of holding ~(1+3)*ngrid*nao*8 bytes of HBM
+    ao: jnp.ndarray | None    # (ngrid, nao)
     weights: jnp.ndarray      # (ngrid,)
     ao_grad: jnp.ndarray | None
     e_nuc: float
@@ -207,6 +210,9 @@ class SCFSystem:
     df_v2c: object | None = None
     # SAD initial-guess density (diag of atomic occupations); None -> Hcore
     dm_sad: jnp.ndarray | None = None
+    # lean-AO mode: (coords (ngrid,3), ao_eval.device_tables(basis)) for
+    # the streamed f64 XC path; set when ao is None
+    ao_tables: tuple | None = None
 
     def __hash__(self):  # static arg for jit: identity-based
         return id(self)
@@ -228,14 +234,14 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
                 df_j3c=None, df_v2c=None, df_exchange_hi=None,
                 sad_occ=None, nopen=0,
                 df_coulomb_fast=None, df_exchange_fast=None,
-                df_b64=None, df_bq32=None) -> SCFSystem:
+                df_b64=None, df_bq32=None, ao_tables=None) -> SCFSystem:
     f64 = jnp.float64
     return SCFSystem(
         hcore=jnp.asarray(hcore, f64),
         s=jnp.asarray(s, f64),
         x=s_inv_sqrt(jnp.asarray(s, f64)),
         eri=None if eri is None else jnp.asarray(eri, f64),
-        ao=jnp.asarray(ao, f64),
+        ao=None if ao is None else jnp.asarray(ao, f64),
         weights=jnp.asarray(weights, f64),
         ao_grad=None if ao_grad is None else jnp.asarray(ao_grad, f64),
         e_nuc=float(e_nuc),
@@ -251,6 +257,7 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
         df_j3c=df_j3c,
         df_v2c=df_v2c,
         dm_sad=None if sad_occ is None else jnp.diag(jnp.asarray(sad_occ, f64)),
+        ao_tables=ao_tables,
     )
 
 
@@ -360,10 +367,81 @@ def _packed_for(sys: SCFSystem, needs_grad: bool):
     per_sys = _PALLAS_PACK_CACHE.setdefault(sys, {})
     ent = per_sys.get(needs_grad)
     if ent is None:
+        if sys.ao is None:
+            raise RuntimeError(
+                "lean-AO SCFSystem has no f64 planes to pack; prepare() "
+                "must seed the packed planes via seed_packed()"
+            )
         ent = pack_pallas_inputs(sys.ao, sys.weights, sys.ao_grad,
                                  n_grad=needs_grad)
         per_sys[needs_grad] = ent
     return ent
+
+
+def seed_packed(sys: SCFSystem, needs_grad: bool, ent) -> None:
+    """Pre-populate the per-system Pallas plane cache: the lean-AO
+    prepare() packs the f32 planes from transient f64 planes (then frees
+    them), so _packed_for can never rebuild them from sys.ao."""
+    _PALLAS_PACK_CACHE.setdefault(sys, {})[needs_grad] = ent
+
+
+def drop_packed(sys: SCFSystem) -> None:
+    """Free the packed f32 planes (delta64 endgame of the lean-AO SCF:
+    the per-cycle XC switches to the f64 engine, and at north-star scale
+    the ~3 GB of packed planes are exactly the headroom the materialized
+    f64 planes need)."""
+    _PALLAS_PACK_CACHE.pop(sys, None)
+
+
+def _xc64_step(sys: SCFSystem, functional: Functional, dm, planes=None):
+    """f64 XC (E_xc, V_xc): from explicit (ao, grad, weights) planes
+    (the delta64 endgame's late-materialized, zero-weight-padded set),
+    sys planes, or the streamed on-device AO path (lean-AO mode)."""
+    if planes is not None:
+        ao, ao_grad, w = planes
+        return xc_step(functional, dm, ao, w, ao_grad)
+    if sys.ao is not None:
+        return xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
+    from quantum_compute_dft_tpu.engine.xc_engine import xc_step_onfly
+
+    coords, tables = sys.ao_tables
+    return xc_step_onfly(functional, dm, coords, sys.weights, tables)
+
+
+def _xc64_energy(sys: SCFSystem, functional: Functional, dm, planes=None):
+    """E_xc-only counterpart of _xc64_step (final parity evaluation)."""
+    from quantum_compute_dft_tpu.engine.xc_engine import (
+        xc_energy,
+        xc_energy_onfly,
+    )
+
+    if planes is not None:
+        ao, ao_grad, w = planes
+        return xc_energy(functional, dm, ao, w, ao_grad)
+    if sys.ao is not None:
+        return xc_energy(functional, dm, sys.ao, sys.weights, sys.ao_grad)
+    coords, tables = sys.ao_tables
+    return xc_energy_onfly(functional, dm, coords, sys.weights, tables)
+
+
+def _materialize_xc_planes(sys: SCFSystem, functional: Functional,
+                           chunk: int = 8192):
+    """Lean-AO delta64 endgame: swap HBM residency from the per-cycle
+    Pallas f32 planes (no longer called -- every remaining cycle runs
+    the f64 XC engine) to late-materialized f64 planes, so the endgame
+    pays the plane-path speed instead of a per-cycle streamed AO
+    re-evaluation.  Returns (ao, grad, weights) zero-padded to a chunk
+    multiple (padded rows carry zero quadrature weight)."""
+    from quantum_compute_dft_tpu.engine.ao_eval import eval_planes_scan
+
+    drop_packed(sys)
+    coords, tables = sys.ao_tables
+    g = coords.shape[0]
+    pad = (-g) % chunk
+    crd = jnp.pad(coords, ((0, pad), (0, 0)))
+    w_pad = jnp.pad(sys.weights, (0, pad))
+    ao, grad = eval_planes_scan(crd, tables, functional.needs_grad, chunk)
+    return ao, grad, w_pad
 
 
 def _pallas_xc(sys: SCFSystem, functional: Functional, dm):
@@ -371,7 +449,7 @@ def _pallas_xc(sys: SCFSystem, functional: Functional, dm):
 
     aot, wt, grads = _packed_for(sys, functional.needs_grad)
     return xc_step_pallas_packed(functional, dm, aot, wt, grads,
-                                 sys.ao.shape[1])
+                                 sys.hcore.shape[0])
 
 
 def _build_j(sys: SCFSystem, dm, fast: bool = False):
@@ -427,7 +505,7 @@ def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis,
     `mixer` selects CDIIS (default) or energy-based ADIIS (`diis` must
     then be an ADIISState)."""
     j = _build_j(sys, dm)
-    e_xc, vxc = xc_step(functional, dm, sys.ao, sys.weights, sys.ao_grad)
+    e_xc, vxc = _xc64_step(sys, functional, dm)
     c_hf = functional.hyb_coeff
     if c_hf != 0.0:
         k = _build_k(sys, dm, hi=True)
@@ -455,17 +533,16 @@ def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis,
     return dm_new, diis, EnergyBreakdown(e_tot, e_one, e_coul, e_xc, e_ex)
 
 
-def energy_of_dm(sys: SCFSystem, functional: Functional, dm) -> EnergyBreakdown:
+def energy_of_dm(sys: SCFSystem, functional: Functional, dm,
+                 xc_planes=None) -> EnergyBreakdown:
     """Self-consistent total energy at a given density: every term (J, XC,
     K) is evaluated from THIS dm, so near the SCF fixed point the result
     is variationally stationary (second-order in density error) -- unlike
     the per-iteration energy, which mixes dm_new with J(dm_old) exactly as
     the reference does (ref dft.py:230-236) and therefore carries ~1e-9
     first-order noise at convergence."""
-    from quantum_compute_dft_tpu.engine.xc_engine import xc_energy
-
     j = _build_j(sys, dm)
-    e_xc = xc_energy(functional, dm, sys.ao, sys.weights, sys.ao_grad)
+    e_xc = _xc64_energy(sys, functional, dm, planes=xc_planes)
     c_hf = functional.hyb_coeff
     e_one = jnp.sum(dm * sys.hcore)
     e_coul = 0.5 * jnp.sum(dm * j)
@@ -517,7 +594,7 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
 
     aot, wt, grads = packed
     exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt, grads,
-                                           sys.ao.shape[1],
+                                           sys.hcore.shape[0],
                                            phi_split=phi_split)
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
                        base if delta else None, k_hi=delta, shift=shift,
@@ -657,7 +734,7 @@ def _cycle_block(sys: SCFSystem, functional: Functional, dm,
     def body(carry, _):
         dm, diis = carry
         exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt,
-                                               grads, sys.ao.shape[1],
+                                               grads, sys.hcore.shape[0],
                                                phi_split=phi_split)
         dm_new, diis, stat = _cycle_tail(
             sys, functional, dm, diis, exc_in, vxc_in,
@@ -674,7 +751,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
                          delta_base=None, shift=0.0, smear_kt: float = 0.0,
                          phi_split: bool = False, fast_jk: bool = False,
-                         j_arg=None, k_arg=None):
+                         j_arg=None, k_arg=None, xc_planes=None):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -721,8 +798,8 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         # f64 XC engine (separate dispatch -- the remote compiler is
         # superlinear in graph size) + the J/K-anchored fused tail
         with timer.phase("xc", sync=None):
-            exc_in, vxc_in = xc_step(functional, dm, sys.ao, sys.weights,
-                                     sys.ao_grad)
+            exc_in, vxc_in = _xc64_step(sys, functional, dm,
+                                        planes=xc_planes)
         with timer.phase("cycle_tail"):
             base3 = (delta_base[0], delta_base[5], delta_base[6])
             dm_new, diis, stat = _cycle_tail(
@@ -731,8 +808,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
             )
         return dm_new, diis, stat
     with timer.phase("xc", sync=None):
-        exc_in, vxc_in = xc_step(functional, dm, sys.ao, sys.weights,
-                                 sys.ao_grad)
+        exc_in, vxc_in = _xc64_step(sys, functional, dm, planes=xc_planes)
         if fence:
             jax.block_until_ready(vxc_in)
     with timer.phase("cycle_tail"):
@@ -743,7 +819,8 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     return dm_new, diis, stat
 
 
-def make_delta_base(sys: SCFSystem, functional: Functional, dm):
+def make_delta_base(sys: SCFSystem, functional: Functional, dm,
+                    xc_planes=None, need_f32: bool = True):
     """f64 anchors for the 'delta' tail: one f64 XC + one f64 K + one f64
     J at the anchor density, plus the matching Pallas-f32 XC evaluation
     whose rounding cancels against later Pallas calls.
@@ -758,11 +835,14 @@ def make_delta_base(sys: SCFSystem, functional: Functional, dm):
         if big:
             jax.device_get(x if x.ndim == 0 else x[0, 0])
 
-    exc0_64, vxc0_64 = xc_step(functional, dm, sys.ao, sys.weights,
-                               sys.ao_grad)
+    exc0_64, vxc0_64 = _xc64_step(sys, functional, dm, planes=xc_planes)
     _fence(exc0_64)
-    exc0_32, vxc0_32 = _pallas_xc(sys, functional, dm)
-    _fence(exc0_32)
+    # the delta64 endgame only consumes (dm, k0, j0) -- skip the f32
+    # anchor (whose packed planes drop_packed may already have freed)
+    exc0_32 = vxc0_32 = None
+    if need_f32:
+        exc0_32, vxc0_32 = _pallas_xc(sys, functional, dm)
+        _fence(exc0_32)
     k0_hi = None
     if functional.hyb_coeff != 0.0:
         k0_hi = _build_k(sys, dm, hi=True)
@@ -846,13 +926,22 @@ def scf_host_staged(
     dn_hist: list[float] = []  # mixed f32-phase dnorms (stall detector)
     dn_hist64: list[float] = []  # delta-phase dnorms (f64-XC endgame)
     cycle = 0
+    xc_planes = None  # lean-AO delta64 endgame: late-materialized planes
     while cycle < max_cycle:
+        if impl == "delta64" and sys.ao is None and xc_planes is None:
+            # lean-AO endgame residency swap: free the packed f32 planes
+            # (the Pallas path never runs again) and materialize the f64
+            # planes once, so the remaining f64-XC cycles pay plane-path
+            # speed instead of a per-cycle streamed AO re-evaluation
+            xc_planes = _materialize_xc_planes(sys, functional)
         if impl == "delta64" and delta_base is None:
             # entered straight from the pallas phase (xc64_tail='on'):
             # build the J/K anchors once; no refresh is ever needed --
             # the linear increments' noise shrinks with the remaining
             # error regardless of anchor staleness
-            delta_base = make_delta_base(sys, functional, dm)
+            delta_base = make_delta_base(sys, functional, dm,
+                                         xc_planes=xc_planes,
+                                         need_f32=False)
         if impl == "delta" and (
             delta_base is None or cycles_since_anchor >= delta_refresh
             # optional near-convergence re-anchoring (off by default --
@@ -864,7 +953,8 @@ def scf_host_staged(
                 and dnorm_prev < 10 * conv_tol_d
                 and anchor_dnorm > 10.0 * dnorm_prev)
         ):
-            delta_base = make_delta_base(sys, functional, dm)
+            delta_base = make_delta_base(sys, functional, dm,
+                                         xc_planes=xc_planes)
             cycles_since_anchor = 0
             anchor_dnorm = dnorm_prev
         phi_split = (phi_split_early and xc_impl == "mixed"
@@ -910,7 +1000,7 @@ def scf_host_staged(
                 sys, functional, dm, diis, timer=timer, xc_impl=impl,
                 delta_base=delta_base, shift=shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
-                j_arg=j_arg, k_arg=k_arg,
+                j_arg=j_arg, k_arg=k_arg, xc_planes=xc_planes,
             )
             # ONE device->host materialization per cycle: each scalar
             # fetch costs a full round-trip over the TPU tunnel (~33 ms),
@@ -999,7 +1089,8 @@ def scf_host_staged(
                 # of the density actually returned (end of block --
                 # past convergence every extra cycle stays at the fixed
                 # point to the convergence tolerance)
-                eb_dev = energy_of_dm(sys, functional, dm_new)
+                eb_dev = energy_of_dm(sys, functional, dm_new,
+                                      xc_planes=xc_planes)
                 stat = np.asarray(jnp.stack(list(eb_dev)))
                 eb = EnergyBreakdown(*(float(v) for v in stat))
                 e_tot = eb.e_tot
@@ -1016,7 +1107,7 @@ def scf_host_staged(
     if max_cycle > 0:
         # the loop's last eb was computed from the pre-damping dm_new;
         # report the energy of the density actually returned
-        eb_dev = energy_of_dm(sys, functional, dm)
+        eb_dev = energy_of_dm(sys, functional, dm, xc_planes=xc_planes)
         eb = EnergyBreakdown(*(float(v) for v in
                                np.asarray(jnp.stack(list(eb_dev)))))
         e_tot = eb.e_tot
