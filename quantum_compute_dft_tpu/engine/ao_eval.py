@@ -105,34 +105,62 @@ def eval_ao_tables(tables, coords, deriv: int = 0, chunk: int = 16384,
     return ao, cat(gs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("needs_grad", "chunk"))
-def eval_planes_scan(coords_pad, tables, needs_grad: bool, chunk: int):
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
+def _write_rows(buf, val, i, chunk: int):
+    z = jnp.zeros((), i.dtype)
+    return jax.lax.dynamic_update_slice(buf, val, (i * chunk, z))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
+def _write_rows3(buf, val, i, chunk: int):
+    z = jnp.zeros((), i.dtype)
+    return jax.lax.dynamic_update_slice(buf, val, (z, i * chunk, z))
+
+
+@functools.partial(jax.jit, static_argnames=("with_grad",))
+def _eval_chunk_jit(coords, centers, powers, alphas, weights,
+                    with_grad: bool):
+    return _eval_chunk(coords, centers, powers, alphas, weights, with_grad)
+
+
+def eval_planes_scan(coords_pad, tables, needs_grad: bool, chunk: int,
+                     split_grad: bool = False):
     """Materialize full f64 AO (+grad) planes on device with peak HBM of
-    planes + ONE chunk: a lax.scan whose carry is the output buffer
-    (XLA aliases scan carries in place), vs. the eval_ao concatenate
-    path whose chunk list + result double-buffers the ~6.5 GB plane set
-    at north-star scale.  coords_pad must be a chunk multiple (caller
-    zero-pads); returns (ao (G, nao), grad (3, G, nao) | None)."""
+    planes + ONE chunk's temporaries: each chunk write DONATES the
+    output buffer (guaranteed in-place; a lax.scan carry was measured to
+    double-buffer the 6.5 GB plane set at north-star scale, as did the
+    eval_ao concatenate path).  coords_pad must be a chunk multiple
+    (caller zero-pads); returns (ao (G, nao), grad (3, G, nao) | None).
+
+    The host loop costs ~3 enqueues per chunk over the TPU tunnel
+    (~25 ms each) -- a few seconds per materialization, which happens
+    O(1) times per SCF."""
     centers, powers, alphas, tweights = tables
     nc = coords_pad.shape[0] // chunk
-    crd = coords_pad.reshape(nc, chunk, 3)
     nao = centers.shape[0]
-    ao0 = jnp.zeros((nc * chunk, nao), jnp.float64)
-    g0 = (jnp.zeros((3, nc * chunk, nao), jnp.float64) if needs_grad
-          else jnp.zeros((0,), jnp.float64))
-
-    def body(carry, blk):
-        ao_acc, g_acc = carry
-        i, crd_b = blk
-        a, g = _eval_chunk(crd_b, centers, powers, alphas, tweights,
-                           needs_grad)
-        ao_acc = jax.lax.dynamic_update_slice(ao_acc, a, (i * chunk, 0))
-        if needs_grad:
-            g_acc = jax.lax.dynamic_update_slice(g_acc, g, (0, i * chunk, 0))
-        return (ao_acc, g_acc), None
-
-    (ao, g), _ = jax.lax.scan(body, (ao0, g0), (jnp.arange(nc), crd))
-    return ao, (g if needs_grad else None)
+    ao = jnp.zeros((nc * chunk, nao), jnp.float64)
+    if not needs_grad:
+        grad = None
+    elif split_grad:
+        # three separate (G, nao) buffers: downstream per-plane packing
+        # then avoids the 1.6 GB slice-copy transient of grad[k] on the
+        # stacked buffer, and each buffer can free right after its pack
+        grad = [jnp.zeros((nc * chunk, nao), jnp.float64)
+                for _ in range(3)]
+    else:
+        grad = jnp.zeros((3, nc * chunk, nao), jnp.float64)
+    for i in range(nc):
+        a, g = _eval_chunk_jit(
+            jax.lax.dynamic_slice(coords_pad, (i * chunk, 0), (chunk, 3)),
+            centers, powers, alphas, tweights, needs_grad,
+        )
+        ao = _write_rows(ao, a, jnp.int32(i), chunk)
+        if needs_grad and split_grad:
+            for k in range(3):
+                grad[k] = _write_rows(grad[k], g[k], jnp.int32(i), chunk)
+        elif needs_grad:
+            grad = _write_rows3(grad, g, jnp.int32(i), chunk)
+    return ao, grad
 
 
 def eval_ao(

@@ -130,8 +130,13 @@ def prepare(
         import jax.numpy as jnp
 
         j3c_dev = jnp.asarray(j3c) if j3c is not None else None
-        df_j, df_k, b_ret = make_df_builders(j3c_dev, v2c,
-                                             build_k=fn.hyb_coeff != 0.0)
+        # skip_fast_b64 (north-star-scale mixed schedule): per-cycle K
+        # comes from the aux-major f32 factor (k_arg) and anchors from
+        # the f64 path, so the auto-f32 ij-major K copy (~1.2 GB at
+        # nao=377) would be pure transient HBM -- build K f64-only
+        df_j, df_k, b_ret = make_df_builders(
+            j3c_dev, v2c, build_k=fn.hyb_coeff != 0.0,
+            k_dtype="float64" if skip_fast_b64 else None)
         # fast-phase builders (f32-HIGHEST aux-major J/K) for the mixed/
         # fast schedules -- Cholesky mode only (identity metric: the
         # factor IS the K tensor).  Only the accelerator path (or the
@@ -153,12 +158,19 @@ def prepare(
             )
         else:
             df_j_fast = df_k_fast = bq32 = None
+        if bq32 is not None and bq32.nbytes > 5e8:
+            # drain the DF pipeline (upload + f32 cast + aux-major
+            # transpose, ~2x factor size of transients) BEFORE the AO
+            # eval enqueues its multi-GB planes: the axon queue is fully
+            # async and unforced pipelines peak at the sum of all their
+            # buffers (measured OOM at the L1 north star)
+            float(bq32[0, 0, 0])
         # high-precision K for the f64 parity tail of the mixed SCF: when
         # the fast exchange auto-selected f32 (DHA scale), keep an f64
         # variant too -- in Cholesky mode it costs nothing to build
         # (B = L, no metric transform)
         df_k_hi = df_k
-        if df_k is not None and v2c is None:
+        if df_k is not None and v2c is None and not skip_fast_b64:
             from quantum_compute_dft_tpu.integrals.density_fitting import (
                 _auto_k_dtype,
             )
@@ -192,21 +204,16 @@ def prepare(
     import jax as _jax
 
     as_numpy = _jax.default_backend() == "cpu"
-    if fn.needs_grad:
-        ao, ao_grad = eval_ao(basis, grid.coords, deriv=1, as_numpy=as_numpy)
-    else:
-        ao = eval_ao(basis, grid.coords, deriv=0, as_numpy=as_numpy)
-        ao_grad = None
-    _tick("ao_eval")
-
     # Lean-AO mode (large-scale TPU runs): the persistent f64 AO+grad
     # planes are (1+3)*ngrid*nao*8 bytes of HBM -- 6.5 GB at the
     # 117-atom north star with a level-1 grid, which together with the
     # DF factors and the packed f32 planes overflows the 16 GB chip.
     # The f64 planes are only touched O(1) times per SCF (delta
-    # anchors, final parity energy), so: pack the per-cycle f32 Pallas
-    # planes NOW (from the transient f64 planes), free the f64 planes,
-    # and let the f64 XC evaluations stream on-device AO chunks
+    # anchors, final parity energy), so: build them TRANSIENTLY with the
+    # in-place chunk scan (eval_planes_scan -- the eval_ao concatenate
+    # path double-buffers ~10 GB of gradient chunks), pack the per-cycle
+    # f32 Pallas planes, free the f64 planes, and let the f64 XC
+    # evaluations stream on-device AO chunks
     # (engine.xc_engine.xc_step_onfly; bitwise the same AO values).
     # The delta64 endgame re-materializes f64 planes once, swapping
     # them for the then-unused packed planes (scf.driver).
@@ -219,19 +226,62 @@ def prepare(
     if lean_ao:
         import jax.numpy as jnp
 
-        from quantum_compute_dft_tpu.engine.ao_eval import device_tables
-        from quantum_compute_dft_tpu.engine.pallas_xc import (
-            pack_pallas_inputs,
+        from quantum_compute_dft_tpu.engine.ao_eval import (
+            device_tables,
+            eval_planes_scan,
         )
+        from quantum_compute_dft_tpu.engine import pallas_xc as _px
 
-        packed_ent = pack_pallas_inputs(ao, grid.weights, ao_grad,
-                                        n_grad=fn.needs_grad)
-        # force the pack before dropping the f64 planes
-        _jax.block_until_ready(packed_ent[0])
+        # sequence the async pipeline with materialization fences: on
+        # the axon TPU, enqueued work only executes at a materialization
+        # point (block_until_ready is a no-op), so an unfenced pipeline
+        # peaks at the SUM of all its buffers -- measured OOM at the L1
+        # north star.  Each fence is one ~33 ms scalar fetch.
+        chunk = 8192
+        g = grid.ngrid
+        gpad = (-g) % chunk
+        crd = jnp.pad(jnp.asarray(grid.coords, jnp.float64),
+                      ((0, gpad), (0, 0)))
+        w_pad = jnp.pad(jnp.asarray(grid.weights, jnp.float64), (0, gpad))
+        tables = device_tables(basis)
+        ao_p, grad_p = eval_planes_scan(crd, tables, fn.needs_grad, chunk,
+                                        split_grad=True)
+        float(ao_p[0, 0])  # planes built (peak: planes + one eval chunk)
+        # pack plane-by-plane, freeing each f64 buffer right after its
+        # packed f32 copy materializes -- the one-call packer's peak
+        # (all f64 planes + all packed planes + cast transients) was
+        # measured to OOM at L1 scale.  Padded rows carry zero
+        # quadrature weight -> the packed wt row zeroes their XC
+        # contribution exactly.
+        npad = _px._round_up(basis.nao, 128)
+        tl = _px._tile_for(npad, _px.DEFAULT_TILE)
+        gpad_t = _px._round_up(int(w_pad.shape[0]), tl)
+        aot = _px._pack_plane(ao_p, npad, gpad_t)
+        float(aot[0, 0])
+        ao_p = None
+        wt = (jnp.zeros((1, gpad_t), jnp.float32)
+              .at[0, :w_pad.shape[0]].set(w_pad.astype(jnp.float32)))
+        grads_t = None
+        if fn.needs_grad:
+            grads_t = []
+            for k in range(3):
+                gk = _px._pack_plane(grad_p[k], npad, gpad_t)
+                float(gk[0, 0])
+                grad_p[k] = None
+                grads_t.append(gk)
+            grads_t = tuple(grads_t)
+        packed_ent = (aot, wt, grads_t)
+        ao_p = grad_p = None
         ao = ao_grad = None
-        ao_tables = (jnp.asarray(grid.coords, jnp.float64),
-                     device_tables(basis))
+        ao_tables = (jnp.asarray(grid.coords, jnp.float64), tables)
         _tick("lean_pack")
+    elif fn.needs_grad:
+        ao, ao_grad = eval_ao(basis, grid.coords, deriv=1, as_numpy=as_numpy)
+        _tick("ao_eval")
+    else:
+        ao = eval_ao(basis, grid.coords, deriv=0, as_numpy=as_numpy)
+        ao_grad = None
+        _tick("ao_eval")
 
     from quantum_compute_dft_tpu.basis.basis_set import sad_occupations
 

@@ -385,6 +385,14 @@ def seed_packed(sys: SCFSystem, needs_grad: bool, ent) -> None:
     _PALLAS_PACK_CACHE.setdefault(sys, {})[needs_grad] = ent
 
 
+def transfer_packed(src_sys: SCFSystem, dst_sys: SCFSystem) -> None:
+    """Move the packed-plane cache entry to a dataclasses.replace'd copy
+    of a system (the cache is keyed by object identity)."""
+    ent = _PALLAS_PACK_CACHE.pop(src_sys, None)
+    if ent is not None:
+        _PALLAS_PACK_CACHE[dst_sys] = ent
+
+
 def drop_packed(sys: SCFSystem) -> None:
     """Free the packed f32 planes (delta64 endgame of the lean-AO SCF:
     the per-cycle XC switches to the f64 engine, and at north-star scale
@@ -441,6 +449,10 @@ def _materialize_xc_planes(sys: SCFSystem, functional: Functional,
     crd = jnp.pad(coords, ((0, pad), (0, 0)))
     w_pad = jnp.pad(sys.weights, (0, pad))
     ao, grad = eval_planes_scan(crd, tables, functional.needs_grad, chunk)
+    # fence: force the (multi-GB) plane build before the endgame cycles
+    # enqueue on top of it (the axon queue is fully async; unforced
+    # pipelines peak at the sum of all their buffers)
+    float(ao[0, 0])
     return ao, grad, w_pad
 
 

@@ -102,8 +102,14 @@ def main() -> int:
         # workspaces.
         import dataclasses
 
-        scf_sys = dataclasses.replace(scf_sys, df_b64=None,
+        from quantum_compute_dft_tpu.scf.driver import transfer_packed
+
+        new_sys = dataclasses.replace(scf_sys, df_b64=None,
                                       df_exchange=None)
+        # the packed-plane cache is identity-keyed; the lean-AO prepare
+        # seeded it for the ORIGINAL system object
+        transfer_packed(scf_sys, new_sys)
+        scf_sys = new_sys
     setup = None  # release the original SCFSystem's array references
 
     def cb(cycle, eb, de, dnorm):
