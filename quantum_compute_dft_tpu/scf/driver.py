@@ -443,6 +443,10 @@ def _materialize_xc_planes(sys: SCFSystem, functional: Functional,
     from quantum_compute_dft_tpu.engine.ao_eval import eval_planes_scan
 
     drop_packed(sys)
+    # drain pending cycle work BEFORE enqueueing the 6.5 GB plane build:
+    # in-flight dispatches still reference the just-dropped packed
+    # planes, and the async queue would hold both sets at peak
+    float(sys.hcore[0, 0])
     coords, tables = sys.ao_tables
     g = coords.shape[0]
     pad = (-g) % chunk
