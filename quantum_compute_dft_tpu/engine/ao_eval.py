@@ -81,30 +81,6 @@ def device_tables(basis: "BasisSet"):
             jnp.asarray(basis.term_alphas), jnp.asarray(basis.term_weights))
 
 
-def eval_ao_tables(tables, coords, deriv: int = 0, chunk: int = 16384,
-                   as_numpy: bool = False):
-    """eval_ao from prebuilt device_tables (coords may be a device array);
-    used to materialize the f64 planes late (the lean-AO SCF's delta64
-    endgame) without rebuilding the BasisSet."""
-    centers, powers, alphas, weights = tables
-    n = coords.shape[0]
-    aos, gs = [], []
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        ao, g = _eval_chunk(
-            jnp.asarray(coords[s:e]), centers, powers, alphas, weights,
-            deriv >= 1,
-        )
-        aos.append(np.asarray(ao) if as_numpy else ao)
-        if deriv >= 1:
-            gs.append(np.asarray(g) if as_numpy else g)
-    cat = np.concatenate if as_numpy else jnp.concatenate
-    ao = cat(aos)
-    if deriv == 0:
-        return ao
-    return ao, cat(gs, axis=1)
-
-
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("chunk",))
 def _write_rows(buf, val, i, chunk: int):
     z = jnp.zeros((), i.dtype)

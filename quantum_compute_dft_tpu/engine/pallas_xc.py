@@ -248,32 +248,6 @@ def pack_pallas_inputs(ao, weights, ao_grad=None, tile: int = DEFAULT_TILE,
     return aot, wt, grads
 
 
-def pack_pallas_inputs_fenced(ao, weights, ao_grad=None,
-                              tile: int = DEFAULT_TILE,
-                              n_grad: bool = False):
-    """pack_pallas_inputs with a materialization fence after each plane:
-    the axon TPU queue is fully async, and the four planes'
-    cast+transpose transients otherwise coexist (~7 GB at north-star L1
-    scale, on top of the f64 planes -- measured OOM).  Host-side loop,
-    4 scalar fetches (~33 ms each)."""
-    g, n = ao.shape
-    npad = _round_up(n, 128)
-    t = _tile_for(npad, tile)
-    gpad = _round_up(g, t)
-    f32 = jnp.float32
-
-    def _f(x):
-        float(x[0, 0])
-        return x
-
-    aot = _f(_pack_plane(ao, npad, gpad))
-    wt = jnp.zeros((1, gpad), f32).at[0, :g].set(weights.astype(f32))
-    grads = None
-    if n_grad:
-        grads = tuple(_f(_pack_plane(ao_grad[k], npad, gpad))
-                      for k in range(3))
-    return aot, wt, grads
-
 
 @functools.partial(
     jax.jit, static_argnames=("functional", "tile", "n", "phi_split")

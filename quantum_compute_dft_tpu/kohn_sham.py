@@ -294,9 +294,10 @@ def prepare(
         # aux-major f64 Cholesky factor as a passable jit argument (the
         # 'fast' schedule's smooth J; see _cd_coulomb_q); skipped on the
         # pure-CPU backend along with the fast builders
-        # skip_fast_b64: the mixed schedule never runs the 'fast' smooth-J
-        # (_cd_coulomb_q); at north-star scale this transpose copy is
-        # ~2 GB of HBM that would be dropped immediately after prepare
+        # skip_fast_b64 (north-star-scale mixed runs): the mixed schedule
+        # never runs the 'fast' smooth-J (_cd_coulomb_q), so this ~2 GB
+        # transpose copy would be dropped right after prepare; the flag
+        # also builds K f64-only above (no auto-f32 ij-major copy)
         df_b64=(jnp.transpose(j3c_dev, (2, 0, 1))
                 if (density_fit or _df_override) and v2c is None
                 and df_j_fast is not None and not skip_fast_b64
