@@ -74,15 +74,21 @@ def main() -> int:
           f"ngrid={setup.ngrid}, rank={setup.sys.df_j3c.shape[2]}, "
           f"mesh={n_dev} devices", flush=True)
 
-    traj_path = os.path.join(here, "docs", "northstar_trajectory.jsonl")
-    out_path = os.path.join(here, "docs", "northstar_convergence.json")
+    # grade-aware outputs: an L1/tighter-CD run must not clobber the
+    # recorded L0 artifacts
+    suffix = "" if grid_level == 0 else f"_L{grid_level}"
+    traj_path = os.path.join(here, "docs",
+                             f"northstar_trajectory{suffix}.jsonl")
+    out_path = os.path.join(here, "docs",
+                            f"northstar_convergence{suffix}.json")
 
     e_last = None
     dm_last = np.asarray(dm)
     converged = False
     cycle = 0
     start_cycle = 1
-    ckpt_path = os.path.join(here, ".cache", f"northstar_dm_{mol_name}.npz")
+    ckpt_path = os.path.join(here, ".cache",
+                             f"northstar_dm_{mol_name}{suffix}.npz")
     if os.path.exists(ckpt_path) and not os.environ.get("NORTHSTAR_FRESH"):
         with np.load(ckpt_path) as z:
             dm = jax.device_put(z["dm"])
