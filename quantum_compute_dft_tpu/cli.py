@@ -106,8 +106,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--validate",
-        action="store_true",
-        help="Re-solve with PySCF and print the energy difference (needs pyscf)",
+        nargs="?",
+        const="auto",
+        default=None,
+        choices=["auto", "pyscf", "native"],
+        help="End-of-run oracle re-solve (ref dft.py:272-297). 'pyscf' "
+        "re-solves with PySCF when installed; 'native' re-solves with the "
+        "independently written C++ host engine (runtime/, in-core path); "
+        "bare --validate ('auto') tries PySCF and falls back to native",
     )
     return p
 
@@ -309,17 +315,30 @@ def main(argv=None) -> int:
     print("-" * 80)
 
     if args.validate:
-        _validate(mol, args.functional, e_tot, atom_path)
+        _validate(mol, args.functional, e_tot, atom_path, args.validate,
+                  setup, args.grid_level)
     return 0 if converged else 2
 
 
-def _validate(mol, functional, e_tot, atom_path):
-    """Optional PySCF oracle comparison (ref dft.py:272-297)."""
-    try:
-        from pyscf import gto, dft as pyscf_dft
-    except ImportError:
-        print("PySCF not available in this environment; skipping validation.")
+def _validate(mol, functional, e_tot, atom_path, mode="auto",
+              setup=None, grid_level=3):
+    """End-of-run oracle comparison (ref dft.py:272-297): PySCF when
+    available, else the independently written C++ host engine."""
+    if mode in ("auto", "pyscf"):
+        try:
+            from pyscf import gto, dft as pyscf_dft  # noqa: F401
+        except ImportError:
+            if mode == "pyscf":
+                print("PySCF not available in this environment; "
+                      "skipping validation.")
+                return
+            print("PySCF not available; validating with the native C++ "
+                  "engine instead (--validate native).")
+            mode = "native"
+    if mode == "native":
+        _validate_native(mol, functional, e_tot, setup, grid_level)
         return
+    from pyscf import gto, dft as pyscf_dft
     xc = {"LDA": "slater,vwn5", "GGA": "PBE,PBE", "PBE": "PBE,PBE",
           "B3LYP": "b3lyp", "HF": "hf"}[functional]
     m = gto.Mole()
@@ -342,6 +361,56 @@ def _validate(mol, functional, e_tot, atom_path):
     print(f"PySCF ({xc}) energy : {mf.e_tot:.8f} Ha")
     print(f"difference          : {abs(mf.e_tot - e_tot):.2e} Ha")
     print(f"PySCF time          : {time.time() - t0:.4f} s")
+
+
+def _validate_native(mol, functional, e_tot, setup, grid_level):
+    """Re-solve with the independently written C++ host engine
+    (runtime/native_scf.py: C-ABI XC/J + scipy eigh + numpy CDIIS, the
+    reference driver's exact shape, ref dft.py:199-266) and print the
+    energy difference -- the in-environment stand-in for the reference's
+    PySCF oracle pass."""
+    import numpy as np
+
+    if functional.upper() not in ("LDA", "GGA", "PBE", "B3LYP"):
+        print(f"native validation supports LDA/GGA/B3LYP only "
+              f"(got {functional}); skipping.")
+        return
+    try:
+        from quantum_compute_dft_tpu.runtime import build_library, run_native_scf
+
+        build_library()
+    except Exception as e:  # no g++ toolchain, build failure
+        print(f"native engine unavailable ({type(e).__name__}: {e}); "
+              "skipping validation.")
+        return
+    sys_ = None if setup is None else setup.sys
+    if sys_ is None or sys_.eri is None or sys_.ao is None:
+        # the DF/lean production path dropped the in-core operands the C
+        # engine needs; rebuild them (disk-cached) when the molecule is
+        # small enough for the (nao^4) ERI tensor
+        nao = 0 if setup is None else setup.nao
+        if setup is not None and nao > 130:
+            print(f"native validation needs the in-core ERI path "
+                  f"(nao={nao} > 130); skipping.")
+            return
+        from quantum_compute_dft_tpu import kohn_sham
+
+        setup = kohn_sham.prepare(mol, functional, grid_level=grid_level,
+                                  density_fit=False)
+        sys_ = setup.sys
+    t0 = time.time()
+    e_nat, _dm, n_iter, conv = run_native_scf(
+        functional,
+        np.asarray(sys_.hcore), np.asarray(sys_.s), np.asarray(sys_.eri),
+        np.asarray(sys_.ao), np.asarray(sys_.weights),
+        None if sys_.ao_grad is None else np.asarray(sys_.ao_grad),
+        sys_.e_nuc, sys_.nocc,
+    )
+    tag = "" if conv else " (UNCONVERGED)"
+    print(f"native C++ ({functional}) energy : {e_nat:.8f} Ha"
+          f"  [{n_iter} cycles{tag}]")
+    print(f"difference                : {abs(e_nat - e_tot):.2e} Ha")
+    print(f"native engine time        : {time.time() - t0:.4f} s")
 
 
 if __name__ == "__main__":
