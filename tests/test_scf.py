@@ -172,6 +172,26 @@ def test_cli_end_to_end(capsys, tmp_path):
     assert "XC(Exc+Vxc)" in out
 
 
+def test_cli_validate_native(capsys, tmp_path):
+    # end-of-run oracle pass (ref dft.py:272-297) through the C++ host
+    # engine: the CLI must print the independent energy and a difference
+    # within the engines' cross-validation bound
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ toolchain")
+    from quantum_compute_dft_tpu.cli import main
+
+    xyz = tmp_path / "h2.xyz"
+    xyz.write_text("2\nH2\nH 0 0 0\nH 0 0 0.74084823\n")
+    rc = main(["LDA", str(xyz), "--grid-level", "1", "--validate", "native"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "native C++ (LDA) energy" in out
+    diff = float(out.split("difference")[1].split(":")[1].split("Ha")[0])
+    assert diff < 1e-8
+
+
 def test_cli_unknown_molecule(tmp_path, capsys):
     from quantum_compute_dft_tpu.cli import main
 
