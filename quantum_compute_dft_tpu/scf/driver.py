@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -140,8 +141,6 @@ def _damp(dm_new, dm_old, dnorm, dnorm_prev):
 
 
 def _tpu_backend() -> bool:
-    import os
-
     if os.environ.get("DFT_FORCE_SIGN_DENSITY") == "1":
         return True
     return jax.default_backend() not in ("cpu",)
@@ -430,6 +429,17 @@ def _xc64_energy(sys: SCFSystem, functional: Functional, dm, planes=None):
         return xc_energy(functional, dm, sys.ao, sys.weights, sys.ao_grad)
     coords, tables = sys.ao_tables
     return xc_energy_onfly(functional, dm, coords, sys.weights, tables)
+
+
+def _xc64_plane_bytes(sys: SCFSystem, functional: Functional,
+                      chunk: int = 8192) -> int:
+    """f64 HBM bytes _materialize_xc_planes would allocate."""
+    coords, tables = sys.ao_tables
+    g = coords.shape[0]
+    g_pad = g + ((-g) % chunk)
+    nao = sys.hcore.shape[0]
+    n_planes = 4 if functional.needs_grad else 1
+    return n_planes * g_pad * nao * 8
 
 
 def _materialize_xc_planes(sys: SCFSystem, functional: Functional,
@@ -916,8 +926,6 @@ def scf_host_staged(
     f64 anchor evaluations at all (DHA: 1.5 s vs 3.0 s mixed)."""
     import numpy as np
 
-    import os
-
     if (xc_impl != "f64" and jax.default_backend() == "cpu"
             and os.environ.get("DFT_PALLAS_INTERPRET") != "1"):
         xc_impl = "f64"  # the Pallas kernel is TPU-only
@@ -943,13 +951,27 @@ def scf_host_staged(
     dn_hist64: list[float] = []  # delta-phase dnorms (f64-XC endgame)
     cycle = 0
     xc_planes = None  # lean-AO delta64 endgame: late-materialized planes
+    xc_planes_decided = False
     while cycle < max_cycle:
-        if impl == "delta64" and sys.ao is None and xc_planes is None:
+        if impl == "delta64" and sys.ao is None and not xc_planes_decided:
             # lean-AO endgame residency swap: free the packed f32 planes
             # (the Pallas path never runs again) and materialize the f64
             # planes once, so the remaining f64-XC cycles pay plane-path
-            # speed instead of a per-cycle streamed AO re-evaluation
-            xc_planes = _materialize_xc_planes(sys, functional)
+            # speed instead of a per-cycle streamed AO re-evaluation.
+            # Gated by HBM budget: at 117-atom L1-grid scale the f64
+            # planes alone are 6.6 GB and materializing them on top of
+            # the resident DF factors OOMs the 16 GB chip -- beyond the
+            # budget the endgame keeps the streamed on-device AO path
+            # (xc_step_onfly, bitwise-identical values, ~2x XC per call).
+            xc_planes_decided = True
+            if _xc64_plane_bytes(sys, functional) <= float(os.environ.get(
+                    "DFT_DELTA64_PLANES_BYTES", 4.5e9)):
+                xc_planes = _materialize_xc_planes(sys, functional)
+            else:
+                drop_packed(sys)  # Pallas planes are dead weight either way
+                # drain in-flight dispatches still referencing them
+                # before the anchor build enqueues its own multi-GB work
+                float(sys.hcore[0, 0])
         if impl == "delta64" and delta_base is None:
             # entered straight from the pallas phase (xc64_tail='on'):
             # build the J/K anchors once; no refresh is ever needed --

@@ -96,3 +96,41 @@ def test_lean_delta64_endgame_materializes(monkeypatch):
     assert r.converged
     assert s.sys not in _PALLAS_PACK_CACHE  # endgame dropped the pack
     assert abs(float(r.e_tot) - float(ref.e_tot)) < 1e-6
+
+
+def test_lean_delta64_endgame_streams_over_budget(monkeypatch):
+    """When the f64 planes exceed the HBM budget (forced here with a
+    zero budget), the delta64 endgame must keep the streamed on-device
+    AO path instead of materializing planes -- the 117-atom L1-grid
+    case, where 6.6 GB of planes on top of the DF factors OOMs the
+    chip -- and still converge to the same energy."""
+    import quantum_compute_dft_tpu.engine.pallas_xc as px
+    import quantum_compute_dft_tpu.scf.driver as drv
+
+    monkeypatch.setenv("DFT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DFT_DELTA64_PLANES_BYTES", "0")
+    orig = px.pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(px.pl, "pallas_call", patched)
+
+    def boom(*a, **k):
+        raise AssertionError("materialized planes despite zero budget")
+
+    monkeypatch.setattr(drv, "_materialize_xc_planes", boom)
+
+    mol = from_atoms(H2O)
+    s = kohn_sham.prepare(mol, "B3LYP", grid_level=0, density_fit=True,
+                          lean_ao=True)
+    ref = scf_host_staged(
+        kohn_sham.prepare(mol, "B3LYP", grid_level=0, density_fit=True).sys,
+        s.functional, xc_impl="f64",
+    )
+    r = scf_host_staged(s.sys, s.functional, xc_impl="mixed",
+                        xc64_tail="on")
+    assert r.converged
+    assert s.sys not in _PALLAS_PACK_CACHE  # pack still dropped
+    assert abs(float(r.e_tot) - float(ref.e_tot)) < 1e-6
