@@ -112,21 +112,35 @@ def main() -> int:
         with open(out_path) as f:
             results = json.load(f)
 
+    # SWEEP_WARM=1: second pass -- rerun converged rows in the now-warm
+    # process/compile-cache state and record the honest scf_s_warm (the
+    # first pass's scf_s includes first-shape remote compiles).
+    warm_pass = os.environ.get("SWEEP_WARM") == "1"
+
     for name in names:
         for fn in functionals:
             key = f"{name}/{fn}"
             prev = results.get(key)
             if prev is not None and "error" not in prev and prev.get("converged"):
-                print(f"{key}: cached, skipping", flush=True)
-                continue
+                if not (warm_pass and "scf_s_warm" not in prev):
+                    print(f"{key}: cached, skipping", flush=True)
+                    continue
             t0 = time.time()
             try:
                 row = run_one(name, fn, grid_level, xc_impl)
+                if warm_pass and prev is not None and prev.get("converged"):
+                    prev["scf_s_warm"] = row["scf_s"]
+                    prev["setup_s_warm"] = row["setup_s"]
+                    prev["e_tot_warm"] = row["e_tot"]
+                    row = prev
                 results[key] = row
                 print(
                     f"{key}: E={row['e_tot']:.8f} conv={row['converged']} "
                     f"({row['n_iter']} cyc, scf {row['scf_s']}s, "
-                    f"setup {row['setup_s']}s)",
+                    f"setup {row['setup_s']}s"
+                    + (f", warm scf {row['scf_s_warm']}s"
+                       if "scf_s_warm" in row else "")
+                    + ")",
                     flush=True,
                 )
             except Exception as exc:  # resumable: record and continue
