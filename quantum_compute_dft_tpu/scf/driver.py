@@ -952,6 +952,9 @@ def scf_host_staged(
     cycle = 0
     xc_planes = None  # lean-AO delta64 endgame: late-materialized planes
     xc_planes_decided = False
+    # 'fast' convergence must be verified on the f64-anchored delta tail
+    # before it counts (see the spurious-fixed-point note at the check)
+    fast_verify_pending = xc_impl == "fast"
     while cycle < max_cycle:
         if impl == "delta64" and sys.ao is None and not xc_planes_decided:
             # lean-AO endgame residency swap: free the packed f32 planes
@@ -1003,7 +1006,7 @@ def scf_host_staged(
         # 'fast' whole-SCF schedule keeps f64 J (see _cycle_tail note).
         if xc_impl == "mixed" and impl == "pallas":
             fast_jk = True
-        elif xc_impl == "fast":
+        elif xc_impl == "fast" and impl == "pallas":
             fast_jk = "k"
         else:
             fast_jk = False
@@ -1100,7 +1103,7 @@ def scf_host_staged(
             # for 200+ cycles).  Switch XC to the f64 engine per cycle
             # (J/K stay anchored -- exact by linearity) and drop the
             # noise-floor DIIS history.
-            if (xc_impl == "mixed" and impl == "delta"
+            if (xc_impl in ("mixed", "fast") and impl == "delta"
                     and xc64_tail == "auto"):
                 dn_hist64.append(dnorm)
                 if (len(dn_hist64) >= 16 and dnorm < 1e-3
@@ -1121,6 +1124,25 @@ def scf_host_staged(
                     shift_acted = True
             dnorm_prev = dnorm
             e_old = e_tot
+        if converged_at is not None and fast_verify_pending:
+            # an all-f32 fixed point can be SPURIOUS: steep heavy-element
+            # Fock scales (Se/Br 1s ~ -500 Eh) push the f32 rounding
+            # floor above the convergence window, so successive iterates
+            # go bitwise-stationary (|dE| = ||dD|| = 0) up to ~1e-4 Eh
+            # from the f64 fixed point (observed: H2Se -1.2e-4, HBr
+            # +2.3e-4 after 4 "converged" cycles, while SeO3's genuine
+            # 28-cycle fixed point sat at 9e-9).  Verify by re-converging
+            # on the f64-anchored delta tail from this density: genuine
+            # fixed points pass in O(1) cheap cycles, spurious ones walk
+            # to parity.
+            fast_verify_pending = False
+            impl = "delta"
+            delta_base = None           # fresh f64 anchor at dm_new
+            cycles_since_anchor = 0
+            diis = diis_init(dm.shape[0])  # f32-floor history is noise
+            dm = dm_new
+            cycle += n
+            continue
         if converged_at is not None:
             if block_impl in ("delta", "delta64") or xc_impl == "fast":
                 # report parity-grade energies: one full f64 evaluation
