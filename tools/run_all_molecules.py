@@ -152,6 +152,18 @@ def main() -> int:
             with open(tmp, "w") as f:
                 json.dump(results, f, indent=1, sort_keys=True)
             os.replace(tmp, out_path)
+            # the jitted cycle programs hold each molecule's SCFSystem
+            # (a static arg) STRONGLY, so its device arrays (ERIs, AO
+            # planes, DF factors) outlive run_one -- ~40 molecules in,
+            # the accumulated buffers exhaust the 16 GB HBM.  Drop all
+            # jit caches between molecules (the persistent XLA compile
+            # cache on disk is unaffected).
+            import gc
+
+            import jax
+
+            jax.clear_caches()
+            gc.collect()
 
     n_ok = sum(1 for v in results.values() if v.get("converged"))
     print(f"done: {n_ok}/{len(results)} converged -> {out_path}")
