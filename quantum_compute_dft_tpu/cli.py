@@ -232,18 +232,19 @@ def main(argv=None) -> int:
             # reference crashes on these, ref grid.py:46 spin=0 build);
             # retry with the FON-RKS annealing ladder, warm-started hot.
             from quantum_compute_dft_tpu.scf.driver import scf_host_annealed
-            import functools
 
             print("-" * 80)
             print("SCF did not converge with integer occupations; "
                   "retrying with the FON-RKS annealing ladder "
-                  "(Fermi smearing, kT 0.5 -> 0.2)")
+                  "(Fermi smearing, kT 0.5 annealed toward 0.1; the "
+                  "coldest converged rung is reported)")
             kwargs.pop("smear_kt")
-            runner = (functools.partial(scf_host_staged,
-                                        xc_impl=args.xc_impl)
-                      if staged else scf_host)
+            # the ladder always runs on the plain host loop with the
+            # ADIIS->CDIIS mixer: the staged runner's CDIIS-only stack
+            # charge-sloshes on exactly the systems the ladder is for
+            # (CuO/L3: staged kT=0.5 stalls where host/ADIIS converges)
             res = scf_host_annealed(setup.sys, setup.functional,
-                                    runner=runner, **kwargs)
+                                    mixer="adiis+cdiis", **kwargs)
         eb, e_tot, converged, n_iter, dm = (
             res.energy, res.e_tot, res.converged, res.n_iter, res.dm,
         )

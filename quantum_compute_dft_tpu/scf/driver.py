@@ -1179,16 +1179,29 @@ def scf_host_staged(
 def scf_host_annealed(
     sys: SCFSystem,
     functional: Functional,
-    kts: tuple[float, ...] = (0.5, 0.2),
+    kts: tuple[float, ...] = (0.5, 0.35, 0.25, 0.2, 0.15, 0.1),
     runner: Callable | None = None,
+    finish_integer: bool = True,
     **kwargs,
 ) -> SCFResult:
     """FON-RKS annealing ladder: converge at the hottest electronic
     temperature (always smooth), then re-converge at each colder kT
     warm-started from the previous density.  The recipe for systems
     whose integer-occupation SCF has no reachable fixed point (CuO: a
-    d-shell doublet; converges at kT 0.5 -> 0.2, charge-sloshes forever
-    below).  Returns the result at the coldest kT that converged.
+    d-shell doublet; charge-sloshes forever with integer occupations).
+    How cold the ladder reaches is grid-dependent -- CuO/B3LYP converges
+    down to kT 0.2 at grid level 1 but stalls below 0.5 at level 3 with
+    a 2-rung ladder; the finer rungs recover the descent.  Returns the
+    result at the COLDEST kT that converged (its `smear_kt` field says
+    which); rungs below the first failure are not attempted.
+
+    `finish_integer`: after the coldest converged rung, attempt one
+    integer-occupation (kT=0) run warm-started from its density, and
+    return THAT when it converges (smear_kt=0.0).  Gapped systems that
+    merely stalled from a bad cold start (oscillating DIIS history)
+    recover their exact integer-occupation energy this way instead of
+    reporting a finite-temperature one; genuinely degenerate systems
+    (CuO) fail the attempt and fall back to the smeared result.
 
     `runner` is the SCF loop to drive (default scf_host; pass
     scf_host_staged for the TPU dispatch-fused variant)."""
@@ -1197,10 +1210,18 @@ def scf_host_annealed(
     dm0 = kwargs.pop("dm0", None)
     for kt in kts:
         r = run(sys, functional, smear_kt=kt, dm0=dm0, **kwargs)
+        r.smear_kt = kt
         if not r.converged:
             break
         best = r
         dm0 = r.dm
+    if best is not None and finish_integer:
+        mc = kwargs.pop("max_cycle", MAX_CYCLE)
+        ri = run(sys, functional, smear_kt=0.0, dm0=best.dm,
+                 max_cycle=min(mc, 100), **kwargs)
+        if ri.converged:
+            ri.smear_kt = 0.0
+            return ri
     return best if best is not None else r
 
 
@@ -1215,6 +1236,10 @@ class SCFResult:
     # level-shift sigma and the cycle where it first engaged (None = never)
     level_shift: float = 0.0
     shift_engaged_at: int | None = None
+    # electronic temperature this result was converged at (0 = integer
+    # occupations); set by scf_host_annealed so callers can report the
+    # coldest rung that actually converged
+    smear_kt: float = 0.0
 
 
 def scf_host(

@@ -154,9 +154,31 @@ def test_fermi_smearing_converges_cuo():
         s = kohn_sham.prepare(mol, "B3LYP", grid_level=2)
     from quantum_compute_dft_tpu.scf.driver import scf_host_annealed
 
-    res = scf_host_annealed(s.sys, s.functional)  # kT 0.5 -> 0.2 ladder
+    # ladder anneals kT 0.5 toward 0.1; CuO's integer-occupation finish
+    # attempt cannot converge, so the result must be a smeared one
+    res = scf_host_annealed(s.sys, s.functional, mixer="adiis+cdiis")
     assert res.converged
+    assert res.smear_kt > 0.0
     assert -1700.0 < res.e_tot < -1690.0
+
+
+def test_annealed_ladder_recovers_integer_solution():
+    # a gapped system must come OUT of the ladder with integer
+    # occupations (smear_kt == 0) and the same energy as a direct
+    # integer-occupation SCF -- the finish_integer warm-start step
+    from quantum_compute_dft_tpu.scf.driver import (
+        scf_host,
+        scf_host_annealed,
+    )
+
+    s = kohn_sham.prepare(from_atoms(H2O), "LDA", grid_level=0)
+    direct = scf_host(s.sys, s.functional)
+    assert direct.converged
+    res = scf_host_annealed(s.sys, s.functional, kts=(0.5, 0.2),
+                            mixer="adiis+cdiis")
+    assert res.converged
+    assert res.smear_kt == 0.0
+    assert abs(res.e_tot - direct.e_tot) < 1e-7
 
 
 def test_cli_end_to_end(capsys, tmp_path):

@@ -71,18 +71,20 @@ def main() -> int:
             smear = 0.0
             if not r.converged:
                 # hard-case fallback: FON-RKS annealing ladder (Fermi
-                # smearing, kT 0.5 -> 0.2 warm-started) -- needed for
-                # near-degenerate open-shell systems (CuO) that no
-                # DIIS/shift variant converges with integer occupations.
-                # The reference crashes on these outright.
+                # smearing, kT 0.5 annealed toward 0.1, warm-started;
+                # ADIIS->CDIIS mixing) -- needed for near-degenerate
+                # open-shell systems (CuO) that no DIIS/shift variant
+                # converges with integer occupations.  The reference
+                # crashes on these outright.
                 from quantum_compute_dft_tpu.scf.driver import (
                     scf_host_annealed,
                 )
 
-                r2 = scf_host_annealed(setup.sys, setup.functional)
+                r2 = scf_host_annealed(setup.sys, setup.functional,
+                                       mixer="adiis+cdiis")
                 if r2.converged:
                     r = r2
-                    smear = 0.2
+                    smear = r2.smear_kt
             rows.append({
                 "molecule": name,
                 "functional": fn,
