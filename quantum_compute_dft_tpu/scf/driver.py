@@ -260,14 +260,16 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
     )
 
 
-def _sign_projector(fp, w, n, eye):
-    """Projector onto the lowest-`n` eigenspace of fp via the matrix sign
-    (Newton-Schulz f64 matmuls, exact on TPU) + two McWeeny sweeps;
-    returns (P, gap) with gap the spectral separation at the cut."""
-    mu = 0.5 * (w[n - 1] + w[n])
-    gap = w[n] - w[n - 1]
-    scale = jnp.maximum(jnp.abs(w[0] - mu), jnp.abs(w[-1] - mu)) * 1.05 + 1e-8
-    a = (mu * eye - fp) / scale
+def _sign_projector_at(fp, w, cut, eye):
+    """Projector onto the eigenspace of fp BELOW the scalar `cut` via the
+    matrix sign function (Newton-Schulz f64 matmuls, exact on TPU) + two
+    McWeeny idempotency sweeps.  `w` supplies only the spectral bounds
+    for the scale.  A cut below w[0] yields 0, above w[-1] yields I
+    (continuously), so window edges need no special-casing."""
+    scale = (
+        jnp.maximum(jnp.abs(w[0] - cut), jnp.abs(w[-1] - cut)) * 1.05 + 1e-8
+    )
+    a = (cut * eye - fp) / scale
 
     def ns_step(_, a):
         return 1.5 * a - 0.5 * a @ a @ a
@@ -277,7 +279,179 @@ def _sign_projector(fp, w, n, eye):
     # two McWeeny sweeps clean residual non-idempotency quadratically
     for _ in range(2):
         p = p @ p @ (3.0 * eye - 2.0 * p)
-    return p, gap
+    return p
+
+
+def _sign_projector(fp, w, n, eye):
+    """Projector onto the lowest-`n` eigenspace of fp; returns (P, gap)
+    with gap the spectral separation at the cut."""
+    mu = 0.5 * (w[n - 1] + w[n])
+    gap = w[n] - w[n - 1]
+    return _sign_projector_at(fp, w, mu, eye), gap
+
+
+def _fermi_occ(w, mu, kt: float):
+    """Occupations 2/(1+exp((w-mu)/kT)), overflow-stable: TPU 'f64' is
+    float-float emulation with the f32 exponent RANGE, so exp arguments
+    must stay <= 0 (exp(+88) would NaN where CPU f64 returns inf)."""
+    t = (w - mu) / kt
+    ex = jnp.exp(-jnp.abs(t))
+    return jnp.where(t > 0.0, 2.0 * ex / (1.0 + ex), 2.0 / (1.0 + ex))
+
+
+def _fermi_mu(w, nelec: float, kt: float):
+    """Chemical potential: bisect mu so the smeared occupations sum to
+    nelec.  Uses eigenvalues only (accurate on TPU: measured relative
+    error ~7e-13 where the eigenVECTORS are only f32-quality)."""
+    lo = w[0] - 10.0 * kt
+    hi = w[-1] + 10.0 * kt
+
+    def bisect(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        too_many = jnp.sum(_fermi_occ(w, mid, kt)) > nelec
+        return (jnp.where(too_many, lo, mid), jnp.where(too_many, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, 80, bisect, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+# Fermi window: static window size (levels), cut-candidate count, and
+# Chebyshev degree for the window matrix function (see
+# _fermi_density_window).  Degree 1024 covers window spans up to
+# ~230 kT (error ~ (1+pi/R)^-N at half-span-over-kT R); spans beyond
+# that fall back to the raw-eigh density via the `ok` guard.
+_FON_WINDOW_MAX = 32
+_FON_CAND = 9
+_FON_CHEB_DEG = 1024
+
+
+def _cheb_fermi(hm, mu, kt: float, lo, hi):
+    """f(H) = 2/(1+exp((H-mu)/kT)) as a degree-_FON_CHEB_DEG Chebyshev
+    matrix polynomial on [lo, hi]: pure f64 matmuls (exact on TPU), no
+    eigendecomposition.  Coefficients come from the node-value DCT with
+    a compile-time cosine matrix; [lo, hi] and mu are runtime values."""
+    import numpy as np
+
+    m = hm.shape[0]
+    n_deg = _FON_CHEB_DEG
+    theta = np.pi * (np.arange(n_deg) + 0.5) / n_deg
+    cosmat = jnp.asarray(
+        np.cos(np.outer(np.arange(n_deg), theta)), dtype=hm.dtype
+    )
+    half = 0.5 * (hi - lo)
+    midv = 0.5 * (hi + lo)
+    nodes = midv + half * jnp.asarray(np.cos(theta), dtype=hm.dtype)
+    coef = (2.0 / n_deg) * (cosmat @ _fermi_occ(nodes, mu, kt))
+    coef = coef.at[0].mul(0.5)
+    eye = jnp.eye(m, dtype=hm.dtype)
+    a = (hm - midv * eye) / half
+
+    def body(j, carry):
+        tprev, tcur, acc = carry
+        acc = acc + coef[j] * tcur
+        return (tcur, 2.0 * (a @ tcur) - tprev, acc)
+
+    _, _, acc = jax.lax.fori_loop(
+        1, n_deg, body, (eye, a, coef[0] * eye)
+    )
+    return acc
+
+
+def _fermi_density_window(x, fp, w, cp, mu, nelec: float, kt: float):
+    """TPU-accurate FON density.  The raw eigh density is useless on TPU
+    for tight convergence: XLA's f64 eigh eigenvectors carry ~1e-8*||F||
+    residuals (measured), i.e. ~1e-5 density noise per cycle for a DFT
+    Fock with core levels at -300 Eh -- the smeared SCF then never meets
+    ||dD|| < 1e-6 at ANY kT.  Rebuild the density trusting only the
+    (accurate) eigenvalues, in three f64-matmul-exact pieces:
+
+      D' = 2 P_a  +  V f(H_m) V^T  +  C diag(docc) C^T
+
+    * P_a: sign-function projector onto all levels below a contiguous
+      m-level window around the Fermi index (fully occupied, weight 2).
+    * V: the window's invariant subspace, extracted by the projector
+      difference (P_b - P_a) applied to the approximate eigh vectors and
+      re-orthonormalized; f(H_m) is the Fermi function of the small
+      window Hamiltonian as a Chebyshev matrix polynomial (_cheb_fermi).
+      The window cuts are placed at the largest spectral gaps among
+      _FON_CAND candidate positions so the sign iterations stay sharp.
+    * docc: occupancy DEVIATIONS of outside-window levels (occ-2 below,
+      occ above).  These coefficients are <= the Fermi tail at the
+      window edge, so the f32-quality eigh vectors C = x cp are fine
+      here (error ~ docc * 1e-4 << 1e-8), and the density stays a
+      SMOOTH function of F across window-placement changes.
+
+    Falls back to the raw eigh density when the window span exceeds the
+    Chebyshev budget or no clean cut gap exists."""
+    n = fp.shape[0]
+    m = (
+        _FON_WINDOW_MAX
+        if n >= 2 * _FON_WINDOW_MAX
+        else min(_FON_WINDOW_MAX, max(10, n // 2))
+    )
+    occ = _fermi_occ(w, mu, kt)
+    c_full = x @ cp
+    dm_eigh = (c_full * (occ * (nelec / jnp.sum(occ)))) @ c_full.T
+    if m >= n:
+        return dm_eigh
+
+    eye = jnp.eye(n, dtype=fp.dtype)
+    nf = jnp.sum(w < mu)
+    base = jnp.clip(nf - m // 2, 0, n - m)
+    cand = jnp.clip(base + (jnp.arange(_FON_CAND) - _FON_CAND // 2), 0, n - m)
+    big = jnp.asarray(jnp.inf, dtype=w.dtype)
+    glow = jnp.where(cand == 0, big, w[cand] - w[jnp.maximum(cand - 1, 0)])
+    ge = cand + m
+    ghigh = jnp.where(
+        ge == n, big, w[jnp.minimum(ge, n - 1)] - w[ge - 1]
+    )
+    score = jnp.minimum(glow, ghigh)
+    start = cand[jnp.argmax(score)]
+    end = start + m
+
+    cut_a = jnp.where(
+        start == 0,
+        w[0] - 1.0,
+        0.5 * (w[jnp.maximum(start - 1, 0)] + w[start]),
+    )
+    cut_b = jnp.where(
+        end == n,
+        w[-1] + 1.0,
+        0.5 * (w[end - 1] + w[jnp.minimum(end, n - 1)]),
+    )
+    p_a = _sign_projector_at(fp, w, cut_a, eye)
+    p_b = _sign_projector_at(fp, w, cut_b, eye)
+
+    v0 = jax.lax.dynamic_slice(cp, (0, start), (n, m))
+    v = (p_b - p_a) @ v0
+    lmat = jnp.linalg.cholesky(v.T @ v)
+    v = jax.scipy.linalg.solve_triangular(lmat, v.T, lower=True).T
+    hm = v.T @ fp @ v
+
+    span_lo = w[start]
+    span_hi = w[end - 1]
+    pad = (
+        1e-6 * (jnp.abs(span_lo) + jnp.abs(span_hi))
+        + 1e-3 * (span_hi - span_lo)
+        + 1e-9
+    )
+    fm = _cheb_fermi(hm, mu, kt, span_lo - pad, span_hi + pad)
+
+    idx = jnp.arange(n)
+    docc = jnp.where(
+        idx < start, occ - 2.0, jnp.where(idx >= end, occ, 0.0)
+    )
+    d_orth = 2.0 * p_a + v @ fm @ v.T + (cp * docc) @ cp.T
+    total = 2.0 * start.astype(w.dtype) + jnp.trace(fm) + jnp.sum(docc)
+    d_orth = d_orth * (nelec / total)
+    dm = x @ d_orth @ x.T
+    dm = 0.5 * (dm + dm.T)
+
+    # guards: Chebyshev budget (half-span/kT) and a resolvable cut gap
+    span_r = 0.5 * (span_hi - span_lo + 2.0 * pad) / kt
+    ok = (span_r < 110.0) & (jnp.max(score) > 1e-7)
+    return jnp.where(ok, dm, dm_eigh)
 
 
 def _fermi_density(x, f, nelec: float, kt: float):
@@ -286,27 +460,22 @@ def _fermi_density(x, f, nelec: float, kt: float):
     near-degenerate frontier manifolds (e.g. CuO's open d/pi shell, which
     flip-flops its integer-occupation HOMO forever -- no level shift
     converges it; smearing does).  The reference has no counterpart (it
-    crashes on every odd-electron system, ref grid.py:45)."""
+    crashes on every odd-electron system, ref grid.py:45).
+
+    On TPU the density is rebuilt from sign projectors + a Chebyshev
+    window matrix function (_fermi_density_window); the raw eigh route
+    (CPU) and the window route agree to ~1e-11 where both are exact.
+    DFT_FON_WINDOW=force / =0 overrides the backend dispatch (tests)."""
     fp = x.T @ f @ x
     w, cp = jnp.linalg.eigh(fp)
-    c = x @ cp
-
-    def occ_sum(mu):
-        return jnp.sum(2.0 / (1.0 + jnp.exp((w - mu) / kt)))
-
-    lo = w[0] - 10.0 * kt
-    hi = w[-1] + 10.0 * kt
-
-    def bisect(_, bounds):
-        lo, hi = bounds
-        mid = 0.5 * (lo + hi)
-        too_many = occ_sum(mid) > nelec
-        return (jnp.where(too_many, lo, mid), jnp.where(too_many, mid, hi))
-
-    lo, hi = jax.lax.fori_loop(0, 80, bisect, (lo, hi))
-    mu = 0.5 * (lo + hi)
-    occ = 2.0 / (1.0 + jnp.exp((w - mu) / kt))
+    mu = _fermi_mu(w, nelec, kt)
+    mode = os.environ.get("DFT_FON_WINDOW", "auto")
+    use_window = mode == "force" or (mode != "0" and _tpu_backend())
+    if use_window:
+        return _fermi_density_window(x, fp, w, cp, mu, nelec, kt)
+    occ = _fermi_occ(w, mu, kt)
     occ = occ * (nelec / jnp.sum(occ))  # exact electron count
+    c = x @ cp
     return (c * occ) @ c.T
 
 

@@ -219,3 +219,68 @@ def test_cli_unknown_molecule(tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["LDA", "NoSuchMolecule", "--molecules-dir", str(tmp_path)])
+
+
+def test_fermi_window_density_matches_eigh_route():
+    # the TPU FON density (sign projectors + Chebyshev window matrix
+    # function, scf.driver._fermi_density_window) must reproduce the
+    # exact raw-eigh smeared density where BOTH are exact (CPU f64),
+    # on a DFT-like spectrum: deep cores at -300 Eh, clustered valence
+    # around the Fermi level, sparse virtuals
+    import numpy as np
+
+    from quantum_compute_dft_tpu.scf import driver
+
+    rng = np.random.default_rng(7)
+    n = 80
+    w = np.sort(np.concatenate([
+        -300.0 - 50.0 * rng.random(8),          # core
+        -20.0 - 5.0 * rng.random(8),            # semicore
+        -2.0 + 2.5 * rng.random(40),            # valence (dense)
+        2.0 + 15.0 * rng.random(24),            # virtuals
+    ]))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    f = (q * w) @ q.T
+    f = 0.5 * (f + f.T)
+    x = np.eye(n)
+    nelec = 90.0  # Fermi level inside the dense valence block
+    for kt in (0.5, 0.2, 0.1):
+        fp = driver.jnp.asarray(f)
+        xj = driver.jnp.asarray(x)
+        wj, cpj = driver.jnp.linalg.eigh(fp)
+        mu = driver._fermi_mu(wj, nelec, kt)
+        occ = driver._fermi_occ(wj, mu, kt)
+        occ = occ * (nelec / driver.jnp.sum(occ))
+        c = xj @ cpj
+        dm_ref = np.asarray((c * occ) @ c.T)
+        dm_win = np.asarray(
+            driver._fermi_density_window(xj, fp, wj, cpj, mu, nelec, kt)
+        )
+        err = np.max(np.abs(dm_win - dm_ref))
+        assert err < 1e-9, (kt, err)
+
+
+def test_fermi_window_scf_matches_eigh_scf(monkeypatch):
+    # full smeared SCF through the forced window path must land on the
+    # same fixed point as the raw-eigh path.  CO2 (nao=15) is the
+    # smallest set where the window machinery actually engages (window
+    # m=10 < nao; H2O would take the tiny-system eigh fallback)
+    import jax
+
+    from quantum_compute_dft_tpu.mol import from_xyz_file
+    from quantum_compute_dft_tpu.scf.driver import scf_host
+
+    s = kohn_sham.prepare(
+        from_xyz_file("molecules/CO2.xyz"), "LDA", grid_level=0
+    )
+    r_eigh = scf_host(s.sys, s.functional, smear_kt=0.3)
+    assert r_eigh.converged
+    monkeypatch.setenv("DFT_FON_WINDOW", "force")
+    jax.clear_caches()  # the env is read at trace time
+    try:
+        r_win = scf_host(s.sys, s.functional, smear_kt=0.3)
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()
+    assert r_win.converged
+    assert abs(r_win.e_tot - r_eigh.e_tot) < 1e-8
