@@ -154,9 +154,12 @@ def test_fermi_smearing_converges_cuo():
         s = kohn_sham.prepare(mol, "B3LYP", grid_level=2)
     from quantum_compute_dft_tpu.scf.driver import scf_host_annealed
 
-    # ladder anneals kT 0.5 toward 0.1; CuO's integer-occupation finish
-    # attempt cannot converge, so the result must be a smeared one
-    res = scf_host_annealed(s.sys, s.functional, mixer="adiis+cdiis")
+    # two explicit rungs and no integer-finish attempt keep the test
+    # time bounded (CuO's integer finish would burn its full cycle
+    # budget failing -- that behavior is test_annealed_ladder_recovers_
+    # integer_solution's job on a gapped system)
+    res = scf_host_annealed(s.sys, s.functional, kts=(0.5, 0.2),
+                            finish_integer=False, mixer="adiis+cdiis")
     assert res.converged
     assert res.smear_kt > 0.0
     assert -1700.0 < res.e_tot < -1690.0
