@@ -1429,7 +1429,16 @@ def scf_host(
     mixer='adiis+cdiis' starts with energy-based ADIIS (configuration-
     slosh-proof; see scf.diis) and hands over to CDIIS once ||dD|| drops
     below ADIIS_TO_CDIIS -- the robust strategy for hard cases like
-    CuO/B3LYP."""
+    CuO/B3LYP.
+
+    TPU-shape limit: scf_iteration takes SCFSystem as a STATIC jit arg,
+    and this JAX version lowers closure-captured device arrays to inline
+    MLIR literals -- the remote compile request then carries the full
+    f64 AO planes and the TPU tunnel rejects bodies past its HTTP limit
+    (413) once the planes exceed ~100 MB (measured: CuO 26 MB compiles;
+    Ca3P2 193 MB / ABAQ 918 MB do not).  At those shapes run the ladder
+    through scf_host_staged (runner=... in scf_host_annealed), whose
+    programs take the planes as runtime arguments."""
     import numpy as np
 
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)

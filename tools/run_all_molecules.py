@@ -17,7 +17,9 @@ Resumable: merges into the output JSON after every molecule.
 Run (TPU):  python tools/run_all_molecules.py [out.json] [MOL ...]
 Env: SWEEP_FUNCTIONALS=B3LYP[,GGA,...], SWEEP_GRID_LEVEL=3,
      SWEEP_MAX_ATOMS=60 (skip bigger; the 117-atom north star has its
-     own dedicated runs -- docs/northstar_*.json), SWEEP_XC_IMPL=fast.
+     own dedicated runs -- docs/northstar_*.json), SWEEP_XC_IMPL=fast,
+     SWEEP_RESCUE=1 (skip the staged attempt, go straight to the anneal
+     ladder -- for rerunning molecules the staged runner already failed).
 """
 
 from __future__ import annotations
@@ -34,7 +36,8 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_OUT = os.path.join(HERE, "docs", "results_58.json")
 
 
-def run_one(name: str, functional: str, grid_level: int, xc_impl: str) -> dict:
+def run_one(name: str, functional: str, grid_level: int, xc_impl: str,
+            rescue: bool = False) -> dict:
     from quantum_compute_dft_tpu import kohn_sham
     from quantum_compute_dft_tpu.basis.data import provenance
     from quantum_compute_dft_tpu.mol import from_xyz_file
@@ -52,10 +55,16 @@ def run_one(name: str, functional: str, grid_level: int, xc_impl: str) -> dict:
     setup_s = time.time() - t0
 
     t0 = time.time()
-    r = scf_host_staged(setup.sys, setup.functional, xc_impl=xc_impl)
     smear = 0.0
     impl_used = xc_impl
-    if not r.converged:
+    if rescue:
+        # SWEEP_RESCUE=1: rerun of a molecule the staged runner already
+        # burned 200 cycles on without converging -- skip straight to
+        # the anneal ladder instead of repeating the doomed attempt.
+        r = None
+    else:
+        r = scf_host_staged(setup.sys, setup.functional, xc_impl=xc_impl)
+    if r is None or not r.converged:
         # integer occupations have no reachable fixed point for some
         # open-shell / near-degenerate systems (CuO); anneal instead.
         # The ladder runs on the plain per-cycle host loop with the
@@ -67,7 +76,7 @@ def run_one(name: str, functional: str, grid_level: int, xc_impl: str) -> dict:
         r2 = scf_host_annealed(
             setup.sys, setup.functional, mixer="adiis+cdiis",
         )
-        if r2 is not None and r2.converged:
+        if r2 is not None and (r is None or r2.converged):
             r, smear, impl_used = r2, r2.smear_kt, "f64"
     scf_s = time.time() - t0
 
@@ -128,7 +137,8 @@ def main() -> int:
                     continue
             t0 = time.time()
             try:
-                row = run_one(name, fn, grid_level, xc_impl)
+                row = run_one(name, fn, grid_level, xc_impl,
+                              rescue=os.environ.get("SWEEP_RESCUE") == "1")
                 if warm_pass and prev is not None and prev.get("converged"):
                     prev["scf_s_warm"] = row["scf_s"]
                     prev["setup_s_warm"] = row["setup_s"]
@@ -145,8 +155,9 @@ def main() -> int:
                     flush=True,
                 )
             except Exception as exc:  # resumable: record and continue
-                results[key] = {"error": repr(exc), "molecule": name,
-                                "functional": fn}
+                if prev is None:  # never clobber a real (even unconverged) row
+                    results[key] = {"error": repr(exc), "molecule": name,
+                                    "functional": fn}
                 print(f"{key}: FAILED {exc!r} ({time.time()-t0:.0f}s)",
                       flush=True)
             tmp = out_path + ".tmp"
