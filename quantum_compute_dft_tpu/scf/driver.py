@@ -322,7 +322,8 @@ def _fermi_mu(w, nelec: float, kt: float):
 # ~230 kT (error ~ (1+pi/R)^-N at half-span-over-kT R); spans beyond
 # that fall back to the raw-eigh density via the `ok` guard.
 _FON_WINDOW_MAX = 32
-_FON_CAND = 9
+_FON_CAND = 25  # wider cut search: dense valence spectra (ABAQ) need it
+                # to find a gap the sign iteration can resolve
 _FON_CHEB_DEG = 1024
 
 
@@ -425,7 +426,16 @@ def _fermi_density_window(x, fp, w, cp, mu, nelec: float, kt: float):
 
     v0 = jax.lax.dynamic_slice(cp, (0, start), (n, m))
     v = (p_b - p_a) @ v0
-    lmat = jnp.linalg.cholesky(v.T @ v)
+    gram = v.T @ v
+    lmat = jnp.linalg.cholesky(gram)
+    # Gram conditioning signal for the `ok` guard below: healthy
+    # projectors give v ~ orthonormal (diag(L) ~ 1); a cut gap too small
+    # for the 30 Newton-Schulz iterations to resolve (sign eigenvalue
+    # stuck near McWeeny's unstable 0.5 fixed point) collapses a window
+    # column and diag(L) -> 0/NaN, and the triangular solve then
+    # amplifies noise into an O(10 Eh) density error (observed: ABAQ at
+    # kT=1.0 jumping -857.4 -> -831.5 with ||dD||~80 mid-ladder)
+    lmin = jnp.min(jnp.diagonal(lmat))
     v = jax.scipy.linalg.solve_triangular(lmat, v.T, lower=True).T
     hm = v.T @ fp @ v
 
@@ -448,9 +458,20 @@ def _fermi_density_window(x, fp, w, cp, mu, nelec: float, kt: float):
     dm = x @ d_orth @ x.T
     dm = 0.5 * (dm + dm.T)
 
-    # guards: Chebyshev budget (half-span/kT) and a resolvable cut gap
+    # guards: Chebyshev budget (half-span/kT), a cut gap the sign
+    # iteration can actually resolve (RELATIVE to the spectral scale:
+    # 30 Newton-Schulz doublings sharpen eigenvalues down to ~1e-5 of
+    # the scale, no further -- an absolute 1e-7 floor let through cuts
+    # the projector could not represent), a well-conditioned window
+    # Gram factor, and an electron count from the window pieces that
+    # actually adds up (broken projectors miss by O(1) electrons; the
+    # nelec/total rescale would silently paper over that)
     span_r = 0.5 * (span_hi - span_lo + 2.0 * pad) / kt
-    ok = (span_r < 110.0) & (jnp.max(score) > 1e-7)
+    scale_est = jnp.maximum(jnp.abs(w[0]), jnp.abs(w[-1])) + 1e-8
+    ok = (span_r < 110.0) & (jnp.max(score) > 3e-5 * scale_est)
+    ok = ok & jnp.isfinite(lmin) & (lmin > 0.1)
+    ok = ok & (jnp.abs(total - nelec) < 0.5)
+    ok = ok & jnp.all(jnp.isfinite(dm))
     return jnp.where(ok, dm, dm_eigh)
 
 
@@ -779,7 +800,8 @@ def _fock(hcore, j, vxc, k, c_hf: float):
 def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 packed, base, delta: bool, shift=0.0,
                 smear_kt: float = 0.0, phi_split: bool = False,
-                fast_jk: bool = False, j_arg=None, k_arg=None):
+                fast_jk: bool = False, j_arg=None, k_arg=None,
+                mixer: str = "cdiis"):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -794,15 +816,16 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
                        base if delta else None, k_hi=delta, shift=shift,
                        smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg,
-                       k_arg=k_arg)
+                       k_arg=k_arg, mixer=mixer)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi",
-                                              "smear_kt", "fast_jk"))
+                                              "smear_kt", "fast_jk",
+                                              "mixer"))
 def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 exc_in, vxc_in, base, k_hi: bool, shift=0.0,
                 smear_kt: float = 0.0, fast_jk: bool = False, j_arg=None,
-                k_arg=None):
+                k_arg=None, mixer: str = "cdiis"):
     """Everything after the XC build, fused into ONE dispatch: J, K,
     Fock assembly, DIIS, eigensolve/purification, energies, and the
     6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
@@ -878,7 +901,12 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
         else:
             k = jnp.zeros_like(j)
     f = _fock(sys.hcore, j, vxc, k, c_hf)
-    diis, f = diis_update(diis, f, dm, sys.s, sys.x)
+    if mixer == "adiis":
+        # energy-based mixing for the far-from-convergence phase (see
+        # scf.diis): `diis` must then be an ADIISState
+        diis, f = adiis_update(diis, f, dm)
+    else:
+        diis, f = diis_update(diis, f, dm, sys.s, sys.x)
     f = _level_shift(f, dm, sys.s, shift)
     if smear_kt > 0.0:
         dm_new = _fermi_density(sys.x, f, 2 * sys.nocc + sys.nopen, smear_kt)
@@ -946,7 +974,8 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          diis: DIISState, timer=None, xc_impl: str = "f64",
                          delta_base=None, shift=0.0, smear_kt: float = 0.0,
                          phi_split: bool = False, fast_jk: bool = False,
-                         j_arg=None, k_arg=None, xc_planes=None):
+                         j_arg=None, k_arg=None, xc_planes=None,
+                         mixer: str = "cdiis"):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -984,7 +1013,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                 phi_split=phi_split and xc_impl == "pallas",
                 fast_jk=fast_jk if xc_impl == "pallas" else False,
                 j_arg=j_arg if xc_impl == "pallas" else None,
-                k_arg=k_arg,
+                k_arg=k_arg, mixer=mixer,
             )
             if fence:
                 jax.block_until_ready(stat)
@@ -1000,6 +1029,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
             dm_new, diis, stat = _cycle_tail(
                 sys, functional, dm, diis, exc_in, vxc_in, base3,
                 k_hi=True, shift=shift, smear_kt=smear_kt, k_arg=k_arg,
+                mixer=mixer,
             )
         return dm_new, diis, stat
     with timer.phase("xc", sync=None):
@@ -1009,7 +1039,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
     with timer.phase("cycle_tail"):
         dm_new, diis, stat = _cycle_tail(
             sys, functional, dm, diis, exc_in, vxc_in, None, k_hi=True,
-            shift=shift, smear_kt=smear_kt,
+            shift=shift, smear_kt=smear_kt, mixer=mixer,
         )
     return dm_new, diis, stat
 
@@ -1059,6 +1089,7 @@ def scf_host_staged(
     mixed_switch_tol: float = 1e-5,
     delta_refresh: int = 50,
     smear_kt: float = 0.0,
+    mixer: str = "cdiis",
     phi_split_early: bool | None = None,
     block_cycles: int = 4,
     # near-convergence anchor re-anchoring: was needed while the delta
@@ -1106,7 +1137,13 @@ def scf_host_staged(
         # cycles than its 1.4 ms/call saves (measured DHA: 42 cyc/5.4 s
         # split vs 32 cyc/4.9 s safe) -- keep the exact-f32 kernel
         phi_split_early = False
-    diis = diis_init(dm.shape[0])
+    # mixer='adiis+cdiis': energy-based ADIIS while far from convergence
+    # (configuration-slosh-proof -- see scf.diis), CDIIS endgame after
+    # ||dD|| < ADIIS_TO_CDIIS.  Same strategy as scf_host's, made
+    # available at staged-runner shapes (the host loop cannot compile
+    # past ~100 MB of AO planes over the TPU tunnel; see scf_host note)
+    use_adiis = mixer.startswith("adiis")
+    diis = (adiis_init if use_adiis else diis_init)(dm.shape[0])
     shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
     dnorm_prev = float("inf")
@@ -1193,6 +1230,7 @@ def scf_host_staged(
         # cost of trailing the stats is <= n-1 cheap extra cycles.
         n = 1
         if (block_cycles > 1 and impl in ("pallas", "delta")
+                and not use_adiis
                 and cycle >= 1 and shiftc.shift == 0.0
                 and dnorm_prev < DAMP_MIN_DNORM):
             n = min(block_cycles, max_cycle - cycle)
@@ -1208,9 +1246,11 @@ def scf_host_staged(
         else:
             dm_new, diis, stat_dev = scf_iteration_staged(
                 sys, functional, dm, diis, timer=timer, xc_impl=impl,
-                delta_base=delta_base, shift=shiftc.shift,
+                delta_base=delta_base,
+                shift=0.0 if use_adiis else shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
                 j_arg=j_arg, k_arg=k_arg, xc_planes=xc_planes,
+                mixer="adiis" if use_adiis else "cdiis",
             )
             # ONE device->host materialization per cycle: each scalar
             # fetch costs a full round-trip over the TPU tunnel (~33 ms),
@@ -1286,7 +1326,10 @@ def scf_host_staged(
             # never applied (engage at row r, dnorm already below
             # SHIFT_RELEASE at row r+1) -- the next iteration runs
             # per-cycle (shift > 0 disables blocking) with true dynamics
-            if not shift_acted:
+            if use_adiis and dnorm < ADIIS_TO_CDIIS:
+                use_adiis = False
+                diis = diis_init(dm.shape[0])  # CDIIS endgame, fresh
+            if not use_adiis and not shift_acted:
                 fresh_diis = shiftc.update(cycle + r, dnorm)
                 if fresh_diis is not None:
                     diis = fresh_diis
@@ -1308,6 +1351,7 @@ def scf_host_staged(
             impl = "delta"
             delta_base = None           # fresh f64 anchor at dm_new
             cycles_since_anchor = 0
+            use_adiis = False
             diis = diis_init(dm.shape[0])  # f32-floor history is noise
             dm = dm_new
             cycle += n
@@ -1327,6 +1371,7 @@ def scf_host_staged(
                              level_shift=shiftc.shift,
                              shift_engaged_at=shiftc.engaged_at)
         if delta_fresh_diis and not shift_acted:
+            use_adiis = False
             diis = diis_init(dm.shape[0])  # see the switch-branch note
         if (n == 1 and dnorm > DAMP_MIN_DNORM
                 and dnorm >= DAMP_RATIO * dnorm_prev_entry):

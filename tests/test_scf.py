@@ -287,3 +287,63 @@ def test_fermi_window_scf_matches_eigh_scf(monkeypatch):
         jax.clear_caches()
     assert r_win.converged
     assert abs(r_win.e_tot - r_eigh.e_tot) < 1e-8
+
+
+def test_fermi_window_guard_rejects_unresolvable_cut():
+    # the window machinery must FALL BACK to the raw-eigh density when
+    # no cut gap the sign iteration can resolve exists (relative to the
+    # spectral scale): 30 Newton-Schulz doublings sharpen eigenvalues to
+    # ~1e-5 of the scale, and an unresolvable cut leaves a projector
+    # eigenvalue at McWeeny's unstable 0.5, collapsing the window Gram
+    # factor -- observed in the wild as ABAQ/B3LYP at kT=1.0 jumping
+    # -857.4 -> -831.5 Eh with ||dD||~80 (driver._fermi_density_window)
+    import numpy as np
+
+    from quantum_compute_dft_tpu.scf import driver
+
+    rng = np.random.default_rng(3)
+    n = 80
+    # scale set by +-100 outliers; everything near the Fermi level is
+    # near-degenerate (1e-9 spacings << 3e-5 * scale)
+    w = np.sort(np.concatenate([
+        np.array([-100.0, 100.0]),
+        1e-9 * np.arange(n - 2),
+    ]))
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    f = (q * w) @ q.T
+    f = 0.5 * (f + f.T)
+    fp = driver.jnp.asarray(f)
+    xj = driver.jnp.eye(n, dtype=fp.dtype)
+    nelec = 90.0
+    kt = 0.3
+    wj, cpj = driver.jnp.linalg.eigh(fp)
+    mu = driver._fermi_mu(wj, nelec, kt)
+    occ = driver._fermi_occ(wj, mu, kt)
+    occ = occ * (nelec / driver.jnp.sum(occ))
+    c = xj @ cpj
+    dm_eigh = np.asarray((c * occ) @ c.T)
+    dm_win = np.asarray(
+        driver._fermi_density_window(xj, fp, wj, cpj, mu, nelec, kt)
+    )
+    # guard must have selected the eigh fallback exactly
+    assert np.array_equal(dm_win, dm_eigh)
+
+
+def test_staged_runner_adiis_matches_cdiis(h2o_setups):
+    # mixer='adiis+cdiis' on the STAGED runner (the only loop that
+    # compiles at large-plane shapes over the TPU tunnel; see
+    # scf_host_staged) must converge to the CDIIS fixed point.  The
+    # ADIIS phase runs per-cycle (no dispatch blocking), hands over to
+    # a fresh CDIIS history below ADIIS_TO_CDIIS, and keeps the level
+    # shift disabled while active -- same protocol as scf_host's.
+    from quantum_compute_dft_tpu.scf.driver import scf_host_staged
+
+    s = h2o_setups["B3LYP"]
+    r_c = scf_host_staged(s.sys, s.functional)
+    r_a = scf_host_staged(s.sys, s.functional, mixer="adiis+cdiis")
+    assert r_c.converged and r_a.converged
+    assert abs(r_a.e_tot - r_c.e_tot) < 1e-7
+    # smeared FON cycles accept the ADIIS state too
+    r_s = scf_host_staged(s.sys, s.functional, mixer="adiis+cdiis",
+                          smear_kt=0.2)
+    assert r_s.converged
