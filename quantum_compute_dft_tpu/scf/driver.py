@@ -77,6 +77,7 @@ SHIFT_STALL = 8         # non-improving cycles before (re-)engaging
 SHIFT_MIN_DNORM = 1e-4  # below this DIIS is polishing; never engage
 SHIFT_RELEASE = 1e-3    # engaged + ||dD|| below this -> hand back to DIIS
 ADIIS_TO_CDIIS = 1e-2   # mixer='adiis+cdiis': ADIIS -> CDIIS handover
+MIX_TO_CDIIS = 3e-3     # mixer='mix+cdiis': damped-mixing -> CDIIS handover
 
 
 def _level_shift(f, dm, s, shift):
@@ -714,12 +715,14 @@ def _fast_k(sys: SCFSystem, dm, k_arg):
                    static_argnames=("sys", "functional", "smear_kt",
                                     "mixer"))
 def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis,
-                  shift=0.0, smear_kt: float = 0.0, mixer: str = "cdiis"):
+                  shift=0.0, smear_kt: float = 0.0, mixer: str = "cdiis",
+                  mix_alpha=0.2):
     """One SCF cycle: returns (dm_new, diis, EnergyBreakdown, E_xc parts).
     `shift` is the level-shift sigma (traced scalar; 0 = off);
     `smear_kt` > 0 switches to Fermi-smeared occupations (FON-RKS);
-    `mixer` selects CDIIS (default) or energy-based ADIIS (`diis` must
-    then be an ADIISState)."""
+    `mixer` selects CDIIS (default), energy-based ADIIS (`diis` must
+    then be an ADIISState), or 'mix' (damped linear mixing, no
+    extrapolation -- see _cycle_tail's note; `diis` is left untouched)."""
     j = _build_j(sys, dm)
     e_xc, vxc = _xc64_step(sys, functional, dm)
     c_hf = functional.hyb_coeff
@@ -732,13 +735,15 @@ def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis,
 
     if mixer == "adiis":
         diis, f = adiis_update(diis, f, dm)
-    else:
+    elif mixer != "mix":
         diis, f = diis_update(diis, f, dm, sys.s, sys.x)
     f = _level_shift(f, dm, sys.s, shift)
     if smear_kt > 0.0:
         dm_new = _fermi_density(sys.x, f, 2 * sys.nocc + sys.nopen, smear_kt)
     else:
         dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
+    if mixer == "mix":
+        dm_new = dm + mix_alpha * (dm_new - dm)
 
     e_one = jnp.sum(dm_new * sys.hcore)
     e_coul = 0.5 * jnp.sum(dm_new * j)
@@ -796,12 +801,12 @@ def _fock(hcore, j, vxc, k, c_hf: float):
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "delta",
                                               "smear_kt", "phi_split",
-                                              "fast_jk"))
+                                              "fast_jk", "mixer"))
 def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 packed, base, delta: bool, shift=0.0,
                 smear_kt: float = 0.0, phi_split: bool = False,
                 fast_jk: bool = False, j_arg=None, k_arg=None,
-                mixer: str = "cdiis"):
+                mixer: str = "cdiis", mix_alpha=0.2):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -816,7 +821,7 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
                        base if delta else None, k_hi=delta, shift=shift,
                        smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg,
-                       k_arg=k_arg, mixer=mixer)
+                       k_arg=k_arg, mixer=mixer, mix_alpha=mix_alpha)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi",
@@ -825,7 +830,7 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
 def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
                 exc_in, vxc_in, base, k_hi: bool, shift=0.0,
                 smear_kt: float = 0.0, fast_jk: bool = False, j_arg=None,
-                k_arg=None, mixer: str = "cdiis"):
+                k_arg=None, mixer: str = "cdiis", mix_alpha=0.2):
     """Everything after the XC build, fused into ONE dispatch: J, K,
     Fock assembly, DIIS, eigensolve/purification, energies, and the
     6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
@@ -905,7 +910,7 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
         # energy-based mixing for the far-from-convergence phase (see
         # scf.diis): `diis` must then be an ADIISState
         diis, f = adiis_update(diis, f, dm)
-    else:
+    elif mixer != "mix":
         diis, f = diis_update(diis, f, dm, sys.s, sys.x)
     f = _level_shift(f, dm, sys.s, shift)
     if smear_kt > 0.0:
@@ -913,6 +918,17 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     else:
         dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
     dnorm = jnp.linalg.norm(dm_new - dm)
+    if mixer == "mix":
+        # damped linear mixing: no extrapolation at all.  The fallback
+        # for states whose SCF map any DIIS-family mixer destabilizes
+        # (observed: ABAQ -- compressed 2D-sketch geometry, metallic
+        # spectrum -- charge-sloshes +-1 Eh under BOTH CDIIS and ADIIS
+        # at kT=0.5, while plain alpha=0.2 under-relaxation contracts
+        # monotonically).  dnorm above stays the RAW map residual --
+        # the fixed points coincide, and the raw residual is the honest
+        # convergence signal; the DIIS history is left untouched for
+        # the CDIIS phase that follows a 'mix+cdiis' handover.
+        dm_new = dm + mix_alpha * (dm_new - dm)
     eb = _energies(dm_new, sys.hcore, j, k, e_xc,
                    jnp.asarray(sys.e_nuc), c_hf)
     stat = jnp.stack([eb.e_tot, dnorm, eb.e_one, eb.e_coul, eb.e_xc,
@@ -975,7 +991,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                          delta_base=None, shift=0.0, smear_kt: float = 0.0,
                          phi_split: bool = False, fast_jk: bool = False,
                          j_arg=None, k_arg=None, xc_planes=None,
-                         mixer: str = "cdiis"):
+                         mixer: str = "cdiis", mix_alpha=0.2):
     """One SCF cycle as TWO jitted dispatches: the XC build (Pallas f32,
     the f64 engine, or a raw Pallas call feeding the delta anchors) and
     the fused _cycle_tail (J/K/Fock/DIIS/solve/energies/stats).
@@ -1013,7 +1029,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
                 phi_split=phi_split and xc_impl == "pallas",
                 fast_jk=fast_jk if xc_impl == "pallas" else False,
                 j_arg=j_arg if xc_impl == "pallas" else None,
-                k_arg=k_arg, mixer=mixer,
+                k_arg=k_arg, mixer=mixer, mix_alpha=mix_alpha,
             )
             if fence:
                 jax.block_until_ready(stat)
@@ -1029,7 +1045,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
             dm_new, diis, stat = _cycle_tail(
                 sys, functional, dm, diis, exc_in, vxc_in, base3,
                 k_hi=True, shift=shift, smear_kt=smear_kt, k_arg=k_arg,
-                mixer=mixer,
+                mixer=mixer, mix_alpha=mix_alpha,
             )
         return dm_new, diis, stat
     with timer.phase("xc", sync=None):
@@ -1040,6 +1056,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         dm_new, diis, stat = _cycle_tail(
             sys, functional, dm, diis, exc_in, vxc_in, None, k_hi=True,
             shift=shift, smear_kt=smear_kt, mixer=mixer,
+            mix_alpha=mix_alpha,
         )
     return dm_new, diis, stat
 
@@ -1090,6 +1107,7 @@ def scf_host_staged(
     delta_refresh: int = 50,
     smear_kt: float = 0.0,
     mixer: str = "cdiis",
+    mix_alpha: float = 0.2,
     phi_split_early: bool | None = None,
     block_cycles: int = 4,
     # near-convergence anchor re-anchoring: was needed while the delta
@@ -1143,6 +1161,11 @@ def scf_host_staged(
     # available at staged-runner shapes (the host loop cannot compile
     # past ~100 MB of AO planes over the TPU tunnel; see scf_host note)
     use_adiis = mixer.startswith("adiis")
+    # mixer='mix+cdiis' / 'mix': damped linear mixing first (the
+    # DIIS-destabilized-map fallback; see _cycle_tail), CDIIS endgame
+    # after the raw map residual drops below MIX_TO_CDIIS ('mix' alone
+    # never hands over).  The DIIS history stays empty during mixing.
+    use_mix = mixer.startswith("mix")
     diis = (adiis_init if use_adiis else diis_init)(dm.shape[0])
     shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
@@ -1230,7 +1253,7 @@ def scf_host_staged(
         # cost of trailing the stats is <= n-1 cheap extra cycles.
         n = 1
         if (block_cycles > 1 and impl in ("pallas", "delta")
-                and not use_adiis
+                and not use_adiis and not use_mix
                 and cycle >= 1 and shiftc.shift == 0.0
                 and dnorm_prev < DAMP_MIN_DNORM):
             n = min(block_cycles, max_cycle - cycle)
@@ -1247,10 +1270,12 @@ def scf_host_staged(
             dm_new, diis, stat_dev = scf_iteration_staged(
                 sys, functional, dm, diis, timer=timer, xc_impl=impl,
                 delta_base=delta_base,
-                shift=0.0 if use_adiis else shiftc.shift,
+                shift=0.0 if (use_adiis or use_mix) else shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
                 j_arg=j_arg, k_arg=k_arg, xc_planes=xc_planes,
-                mixer="adiis" if use_adiis else "cdiis",
+                mixer=("adiis" if use_adiis
+                       else "mix" if use_mix else "cdiis"),
+                mix_alpha=mix_alpha,
             )
             # ONE device->host materialization per cycle: each scalar
             # fetch costs a full round-trip over the TPU tunnel (~33 ms),
@@ -1329,7 +1354,9 @@ def scf_host_staged(
             if use_adiis and dnorm < ADIIS_TO_CDIIS:
                 use_adiis = False
                 diis = diis_init(dm.shape[0])  # CDIIS endgame, fresh
-            if not use_adiis and not shift_acted:
+            if use_mix and "+" in mixer and dnorm < MIX_TO_CDIIS:
+                use_mix = False  # CDIIS takes over; history is empty
+            if not use_adiis and not use_mix and not shift_acted:
                 fresh_diis = shiftc.update(cycle + r, dnorm)
                 if fresh_diis is not None:
                     diis = fresh_diis
@@ -1352,6 +1379,7 @@ def scf_host_staged(
             delta_base = None           # fresh f64 anchor at dm_new
             cycles_since_anchor = 0
             use_adiis = False
+            use_mix = False
             diis = diis_init(dm.shape[0])  # f32-floor history is noise
             dm = dm_new
             cycle += n
@@ -1372,6 +1400,7 @@ def scf_host_staged(
                              shift_engaged_at=shiftc.engaged_at)
         if delta_fresh_diis and not shift_acted:
             use_adiis = False
+            use_mix = False
             diis = diis_init(dm.shape[0])  # see the switch-branch note
         if (n == 1 and dnorm > DAMP_MIN_DNORM
                 and dnorm >= DAMP_RATIO * dnorm_prev_entry):
@@ -1466,6 +1495,7 @@ def scf_host(
     dm0: jnp.ndarray | None = None,
     smear_kt: float = 0.0,
     mixer: str = "cdiis",
+    mix_alpha: float = 0.2,
 ) -> SCFResult:
     """smear_kt > 0 runs FON-RKS (Fermi-smeared occupations at that
     electronic temperature in Eh) -- the robust treatment for
@@ -1488,6 +1518,7 @@ def scf_host(
 
     dm = initial_guess(sys) if dm0 is None else jnp.asarray(dm0)
     use_adiis = mixer.startswith("adiis")
+    use_mix = mixer.startswith("mix")  # damped linear mixing phase
     diis = (adiis_init if use_adiis else diis_init)(dm.shape[0])
     shiftc = _ShiftController(dm.shape[0])
     e_old = 0.0
@@ -1497,9 +1528,11 @@ def scf_host(
     for cycle in range(max_cycle):
         dm_new, diis, eb = scf_iteration(
             sys, functional, dm, diis,
-            shift=0.0 if use_adiis else shiftc.shift,
+            shift=0.0 if (use_adiis or use_mix) else shiftc.shift,
             smear_kt=smear_kt,
-            mixer="adiis" if use_adiis else "cdiis",
+            mixer=("adiis" if use_adiis
+                   else "mix" if use_mix else "cdiis"),
+            mix_alpha=mix_alpha,
         )
         # one materialization per cycle (see scf_host_staged)
         stat = np.asarray(jnp.stack(
@@ -1518,7 +1551,12 @@ def scf_host(
         if use_adiis and dnorm < ADIIS_TO_CDIIS:
             use_adiis = False
             diis = diis_init(dm.shape[0])  # CDIIS endgame, fresh history
-        if not use_adiis:
+        # the host loop's dnorm is the BLENDED step during mixing
+        # (alpha x the raw map residual) -- rescale for the handover
+        if (use_mix and "+" in mixer
+                and dnorm / mix_alpha < MIX_TO_CDIIS):
+            use_mix = False  # CDIIS takes over; history is empty
+        if not use_adiis and not use_mix:
             fresh_diis = shiftc.update(cycle, dnorm)
             if fresh_diis is not None:
                 diis = fresh_diis

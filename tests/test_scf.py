@@ -347,3 +347,23 @@ def test_staged_runner_adiis_matches_cdiis(h2o_setups):
     r_s = scf_host_staged(s.sys, s.functional, mixer="adiis+cdiis",
                           smear_kt=0.2)
     assert r_s.converged
+
+
+def test_mix_mixer_matches_cdiis_fixed_point(h2o_setups):
+    # mixer='mix+cdiis' (damped linear mixing, then CDIIS -- the
+    # fallback for maps that DIIS-family extrapolation destabilizes,
+    # e.g. ABAQ's compressed-sketch metallic spectrum) must land on the
+    # CDIIS fixed point on both loops, including under FON smearing.
+    from quantum_compute_dft_tpu.scf.driver import scf_host, scf_host_staged
+
+    s = h2o_setups["B3LYP"]
+    r_c = scf_host_staged(s.sys, s.functional)
+    r_m = scf_host_staged(s.sys, s.functional, mixer="mix+cdiis",
+                          max_cycle=200)
+    assert r_c.converged and r_m.converged
+    assert abs(r_m.e_tot - r_c.e_tot) < 1e-7
+    r_h = scf_host(s.sys, s.functional, mixer="mix+cdiis", max_cycle=200)
+    assert r_h.converged and abs(r_h.e_tot - r_c.e_tot) < 1e-7
+    r_s = scf_host_staged(s.sys, s.functional, mixer="mix+cdiis",
+                          smear_kt=0.3, max_cycle=200)
+    assert r_s.converged

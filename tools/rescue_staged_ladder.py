@@ -46,9 +46,23 @@ def main() -> int:
             setup = kohn_sham.prepare(mol, "B3LYP", grid_level=3)
         setup_s = time.time() - t0
         t0 = time.time()
+        mixer = os.environ.get("RESCUE_MIXER", "cdiis")
+        kts_env = os.environ.get("RESCUE_KTS", "")
+        extra = {}
+        if kts_env:
+            extra["kts"] = tuple(float(v) for v in kts_env.split(","))
+        if mc := os.environ.get("RESCUE_MAX_CYCLE", ""):
+            extra["max_cycle"] = int(mc)
+        def cb(cycle, eb, de, dnorm):
+            if cycle % 10 == 0:
+                print(f"  cyc {cycle:3d} E={float(eb.e_tot):.8f} "
+                      f"dD={float(dnorm):.2e}", flush=True)
+
         r = scf_host_annealed(
             setup.sys, setup.functional,
-            runner=scf_host_staged, xc_impl="fast",
+            runner=scf_host_staged, xc_impl="fast", mixer=mixer,
+            callback=cb if os.environ.get("RESCUE_VERBOSE") else None,
+            **extra,
         )
         scf_s = time.time() - t0
         print(f"{name}: conv={getattr(r, 'converged', None)} "
