@@ -501,6 +501,31 @@ def _fermi_density(x, f, nelec: float, kt: float):
     return (c * occ) @ c.T
 
 
+def _density_sanity(sys, dm_prev, dm_new):
+    """Last-resort N-representability guard on a freshly built density:
+    any aufbau/FON density satisfies trace(D S) = nelec and, in the
+    S-metric, ||D||_F <= sqrt(2 nelec) (occupations in [0, 2]).  TPU
+    eigh can emit garbage EIGENVECTORS on near-degenerate spectra (the
+    eigenvalues stay accurate), and every eigh-vector-dependent piece
+    of the density build shares that failure mode -- observed once as a
+    ||dD|| ~ 6e2 excursion mid-SCF on ABAQ.  When violated, keep the
+    previous density and return a huge residual contribution so the
+    cycle can never count as converged (the offending Fock is fine and
+    stays in the DIIS history; the next extrapolation moves the
+    spectrum off the razor edge).  Returns (dm, 0.0) when sane."""
+    nelec = 2 * sys.nocc + sys.nopen
+    tr_s = jnp.sum(dm_new * sys.s.T)
+    sd = sys.s @ dm_new
+    nrm = jnp.sqrt(jnp.abs(jnp.sum(sd * sd.T)))
+    sane = (
+        (jnp.abs(tr_s - nelec) < 0.5)
+        & (nrm < jnp.sqrt(2.0 * nelec) + 1.0)
+        & jnp.all(jnp.isfinite(dm_new))
+    )
+    dm_out = jnp.where(sane, dm_new, dm_prev)
+    return dm_out, jnp.where(sane, 0.0, 1e3)
+
+
 def _density(x, f, nocc, nopen: int = 0):
     """Solve F C = S C e via the orthogonal basis; D = 2 C_occ C_occ^T
     (+ the singly-occupied HOMO for odd-electron systems, nopen=1 --
@@ -917,7 +942,8 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
         dm_new = _fermi_density(sys.x, f, 2 * sys.nocc + sys.nopen, smear_kt)
     else:
         dm_new = _density(sys.x, f, sys.nocc, sys.nopen)
-    dnorm = jnp.linalg.norm(dm_new - dm)
+    dm_new, insane = _density_sanity(sys, dm, dm_new)
+    dnorm = jnp.linalg.norm(dm_new - dm) + insane
     if mixer == "mix":
         # damped linear mixing: no extrapolation at all.  The fallback
         # for states whose SCF map any DIIS-family mixer destabilizes
@@ -1425,6 +1451,8 @@ def scf_host_annealed(
     kts: tuple[float, ...] = (0.5, 0.35, 0.25, 0.2, 0.15, 0.1),
     runner: Callable | None = None,
     finish_integer: bool = True,
+    rung_conv_tol_e: float | None = None,
+    rung_conv_tol_d: float | None = None,
     **kwargs,
 ) -> SCFResult:
     """FON-RKS annealing ladder: converge at the hottest electronic
@@ -1451,8 +1479,19 @@ def scf_host_annealed(
     run = runner if runner is not None else scf_host
     best = None
     dm0 = kwargs.pop("dm0", None)
+    # rung_conv_tol_*: smeared rungs only need to GUIDE the density to
+    # the colder rung's basin -- loosened rung tolerances cut the hot
+    # rungs' cost, while the integer finish keeps the caller's full
+    # convergence rule (a smeared result returned because the finish
+    # failed is converged to the RUNG tolerance; callers that loosen it
+    # should re-verify the coldest rung at full tolerance)
+    rung_kw = dict(kwargs)
+    if rung_conv_tol_e is not None:
+        rung_kw["conv_tol_e"] = rung_conv_tol_e
+    if rung_conv_tol_d is not None:
+        rung_kw["conv_tol_d"] = rung_conv_tol_d
     for kt in kts:
-        r = run(sys, functional, smear_kt=kt, dm0=dm0, **kwargs)
+        r = run(sys, functional, smear_kt=kt, dm0=dm0, **rung_kw)
         r.smear_kt = kt
         if not r.converged:
             break

@@ -367,3 +367,24 @@ def test_mix_mixer_matches_cdiis_fixed_point(h2o_setups):
     r_s = scf_host_staged(s.sys, s.functional, mixer="mix+cdiis",
                           smear_kt=0.3, max_cycle=200)
     assert r_s.converged
+
+
+def test_density_sanity_guard():
+    # _density_sanity must pass a legitimate density through untouched
+    # and revert a non-N-representable one (TPU eigh garbage-vector
+    # failure mode) to the previous density with a huge residual flag.
+    import numpy as np
+
+    from quantum_compute_dft_tpu.scf import driver as d
+
+    s = kohn_sham.prepare(
+        __import__("quantum_compute_dft_tpu.mol", fromlist=["from_xyz_file"])
+        .from_xyz_file("molecules/H2O.xyz"), "LDA", grid_level=0)
+    dm_good = d.initial_guess(s.sys)
+    out, bad = d._density_sanity(s.sys, dm_good, dm_good)
+    assert float(bad) == 0.0
+    assert np.allclose(np.asarray(out), np.asarray(dm_good))
+    dm_insane = 50.0 * dm_good  # trace(DS) and norm both blown
+    out, bad = d._density_sanity(s.sys, dm_good, dm_insane)
+    assert float(bad) == 1e3
+    assert np.allclose(np.asarray(out), np.asarray(dm_good))

@@ -53,6 +53,10 @@ def main() -> int:
             extra["kts"] = tuple(float(v) for v in kts_env.split(","))
         if mc := os.environ.get("RESCUE_MAX_CYCLE", ""):
             extra["max_cycle"] = int(mc)
+        if rt := os.environ.get("RESCUE_RUNG_TOL_D", ""):
+            extra["rung_conv_tol_d"] = float(rt)
+        if rte := os.environ.get("RESCUE_RUNG_TOL_E", ""):
+            extra["rung_conv_tol_e"] = float(rte)
         def cb(cycle, eb, de, dnorm):
             if cycle % 10 == 0:
                 print(f"  cyc {cycle:3d} E={float(eb.e_tot):.8f} "
