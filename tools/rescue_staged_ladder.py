@@ -68,6 +68,25 @@ def main() -> int:
             callback=cb if os.environ.get("RESCUE_VERBOSE") else None,
             **extra,
         )
+        if (r is not None and r.converged and r.smear_kt > 0
+                and "rung_conv_tol_d" in extra):
+            # the ladder returned a SMEARED rung converged only to the
+            # loosened rung tolerance (integer finish failed) -- re-run
+            # that kT at the caller's full convergence rule so the
+            # recorded row meets the same bar as every other sweep row
+            print(f"  tightening kT={r.smear_kt} to the full rule",
+                  flush=True)
+            rt = scf_host_staged(
+                setup.sys, setup.functional, smear_kt=r.smear_kt,
+                dm0=r.dm, xc_impl="fast", mixer=mixer,
+                max_cycle=extra.get("max_cycle", 300),
+                callback=cb if os.environ.get("RESCUE_VERBOSE") else None,
+            )
+            if rt.converged:
+                rt.smear_kt = r.smear_kt
+                r = rt
+            else:
+                r = None  # loose rung alone must not count as converged
         scf_s = time.time() - t0
         print(f"{name}: conv={getattr(r, 'converged', None)} "
               f"E={getattr(r, 'e_tot', float('nan')):.8f} "
