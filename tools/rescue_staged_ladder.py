@@ -57,6 +57,14 @@ def main() -> int:
             extra["rung_conv_tol_d"] = float(rt)
         if rte := os.environ.get("RESCUE_RUNG_TOL_E", ""):
             extra["rung_conv_tol_e"] = float(rte)
+        if dm0p := os.environ.get("RESCUE_DM0", ""):
+            # warm-start the ladder from a saved density (e.g. a CPU
+            # low-grid anneal that already found the right basin --
+            # ABAQ's smeared landscape has several stationary states
+            # tens of Eh apart in bare E)
+            import numpy as np
+
+            extra["dm0"] = np.load(dm0p)
         def cb(cycle, eb, de, dnorm):
             if cycle % 10 == 0:
                 print(f"  cyc {cycle:3d} E={float(eb.e_tot):.8f} "
@@ -68,6 +76,14 @@ def main() -> int:
             callback=cb if os.environ.get("RESCUE_VERBOSE") else None,
             **extra,
         )
+        if sdm := os.environ.get("RESCUE_SAVE_DM", ""):
+            # persist the final density (converged or not) so successive
+            # rescue attempts can chain warm starts
+            import numpy as np
+
+            if r is not None and getattr(r, "dm", None) is not None:
+                np.save(sdm, np.asarray(r.dm))
+                print(f"  saved dm -> {sdm}", flush=True)
         if (r is not None and r.converged and r.smear_kt > 0
                 and "rung_conv_tol_d" in extra):
             # the ladder returned a SMEARED rung converged only to the
