@@ -57,6 +57,8 @@ def main() -> int:
             extra["rung_conv_tol_d"] = float(rt)
         if rte := os.environ.get("RESCUE_RUNG_TOL_E", ""):
             extra["rung_conv_tol_e"] = float(rte)
+        if al := os.environ.get("RESCUE_ALPHA", ""):
+            extra["mix_alpha"] = float(al)
         if dm0p := os.environ.get("RESCUE_DM0", ""):
             # warm-start the ladder from a saved density (e.g. a CPU
             # low-grid anneal that already found the right basin --
@@ -72,7 +74,8 @@ def main() -> int:
 
         r = scf_host_annealed(
             setup.sys, setup.functional,
-            runner=scf_host_staged, xc_impl="fast", mixer=mixer,
+            runner=scf_host_staged,
+            xc_impl=os.environ.get("RESCUE_XC", "fast"), mixer=mixer,
             callback=cb if os.environ.get("RESCUE_VERBOSE") else None,
             **extra,
         )
@@ -94,7 +97,8 @@ def main() -> int:
                   flush=True)
             rt = scf_host_staged(
                 setup.sys, setup.functional, smear_kt=r.smear_kt,
-                dm0=r.dm, xc_impl="fast", mixer=mixer,
+                dm0=r.dm,
+                xc_impl=os.environ.get("RESCUE_XC", "fast"), mixer=mixer,
                 max_cycle=extra.get("max_cycle", 300),
                 callback=cb if os.environ.get("RESCUE_VERBOSE") else None,
             )
@@ -118,7 +122,7 @@ def main() -> int:
                 "ngrid": setup.ngrid,
                 "density_fit": setup.sys.df_j3c is not None,
                 "grid_level": 3,
-                "xc_impl": "fast",
+                "xc_impl": os.environ.get("RESCUE_XC", "fast"),
                 "e_tot": float(r.e_tot),
                 "converged": True,
                 "n_iter": int(r.n_iter),
