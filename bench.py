@@ -6,8 +6,27 @@ dft.py:243), measured on the SCF loop only (the reference's "Total Time",
 ref dft.py:245,258), after a warm-up run that pays compilation.  Also
 reports the per-call XC build time (the reference's "XC(Exc+Vxc) Time",
 ref dft.py:246-261) for the engine that actually ran the SCF, plus its
-achieved FLOP rate and MXU utilization (pallas_mfu) against the chip's
-f32 peak.
+position against the *joint roofline* (see below).
+
+Timing methodology (round 4, replacing the round-3 instrument that
+subtracted a fixed 33 ms round-trip and produced physically impossible
+bandwidth fractions > 1): per-call device time is measured by REP
+DIFFERENCING -- two chained-dependency runs of n1 and n1+dn calls are
+timed end-to-end, and (t(n1+dn) - t(n1)) / dn cancels the constant
+dispatch + materialization overhead exactly instead of estimating it.
+Every kernel measurement is checked against its physical HBM-stream
+floor; a measurement below the floor is re-run with more reps and, if
+still impossible, reported as null with "timing_suspect": true.
+
+Roofline model (BASELINE.md "joint roofline"): the fused XC kernel
+streams P f32 planes of (nrow, gpad) once (P=4 for GGA/B3LYP, 1 for
+LDA), so t_bw = P*nrow*gpad*4 / HBM_BW; and it issues its two big
+matmuls (phi_D = D@AO^T and V += AO.B^T) as multiple bf16 MXU passes
+(HIGHEST f32 = 6 passes, the 3-pass split = 3), so
+t_mxu = sum(passes_i * 2*m*k*n) / BF16_PEAK with k,n padded to the
+128x128 MXU tile and m to the 8-sublane granularity.  The kernel floor
+is max(t_bw, t_mxu); which bound binds depends on nao (benzene: BW;
+DHA and up: MXU).  Fractions reported are measured_floor / measured.
 
 Setup (integrals, grids, AO values) and the SCF hot loop both run on the
 default device (TPU when present), as the CLI does.  Molecules above
@@ -18,12 +37,14 @@ reference publishes none (BASELINE.md), so the first recorded round is
 the baseline (1.0) and later rounds compare against BENCH_r1.
 
 Env knobs: BENCH_MOLECULE, BENCH_FUNCTIONAL, BENCH_GRID_LEVEL,
-BENCH_XC_IMPL (f64|pallas|mixed|fast), BENCH_BASELINE_S, BENCH_PEAK_TFLOPS.
+BENCH_XC_IMPL (f64|pallas|mixed|fast), BENCH_BASELINE_S,
+BENCH_PEAK_TFLOPS, BENCH_HBM_GBS.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -40,30 +61,38 @@ FUNCTIONAL = os.environ.get("BENCH_FUNCTIONAL", "GGA")
 GRID_LEVEL = int(os.environ.get("BENCH_GRID_LEVEL", "3"))
 BASELINE_S = os.environ.get("BENCH_BASELINE_S")  # optional reference seconds
 
-# f32 matmul peak per chip generation (TFLOP/s); MFU denominators.
-# Overridable with BENCH_PEAK_TFLOPS for new device kinds.
-_PEAK_F32_TFLOPS = [
-    ("v5 lite", 98.5),   # v5e: 197 bf16 TFLOP/s, f32 = half
-    ("v5e", 98.5),
-    ("v5p", 229.0),
-    ("v6e", 459.0),
-    ("v6", 459.0),
-    ("v5", 229.0),
-    ("v4", 137.0),
-    ("v3", 61.0),
-    ("v2", 23.0),
+# per-generation peaks; overridable for new device kinds.  bf16 peak is
+# the MXU pass rate the multi-pass matmul model divides by; f32 "peak"
+# (= bf16/2) is kept only for the legacy MFU-vs-f32 number.
+# (device_kind substring, bf16 TFLOP/s, HBM GB/s) -- most specific first.
+_DEVICE_PEAKS = [
+    ("v5 lite", 197.0, 819.0),   # v5e
+    ("v5e", 197.0, 819.0),
+    ("v5p", 459.0, 2765.0),
+    ("v6e", 918.0, 1640.0),
+    ("v6", 918.0, 1640.0),
+    ("v5", 459.0, 2765.0),
+    ("v4", 275.0, 1228.0),
+    ("v3", 123.0, 900.0),
+    ("v2", 46.0, 700.0),
 ]
 
 
-def _peak_tflops() -> float:
-    env = os.environ.get("BENCH_PEAK_TFLOPS")
-    if env:
-        return float(env)
+def _device_peaks() -> tuple[float, float]:
+    """(bf16 TFLOP/s, HBM GB/s) for the local device, env-overridable."""
     kind = jax.devices()[0].device_kind.lower()
-    for key, val in _PEAK_F32_TFLOPS:  # most-specific first
+    bf16, bw = 275.0, 1228.0  # assume v4-class if unrecognized
+    for key, tf, gbs in _DEVICE_PEAKS:
         if key in kind:
-            return val
-    return 137.0  # assume v4-class if unrecognized
+            bf16, bw = tf, gbs
+            break
+    env_tf = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env_tf:  # legacy knob: f32 peak = bf16/2
+        bf16 = 2.0 * float(env_tf)
+    env_bw = os.environ.get("BENCH_HBM_GBS")
+    if env_bw:
+        bw = float(env_bw)
+    return bf16, bw
 
 
 def _xc_flops(g: int, n: int, needs_grad: bool) -> int:
@@ -74,6 +103,30 @@ def _xc_flops(g: int, n: int, needs_grad: bool) -> int:
     gemms = 4 * g * n * n
     row = (20 if needs_grad else 6) * g * n
     return gemms + row
+
+
+def _xc_roofline_ms(nao: int, nrow: int, gpad: int, needs_grad: bool,
+                    phi_passes: int, v_passes: int,
+                    bf16_tflops: float, hbm_gbs: float):
+    """Joint-roofline floor of one fused XC call, in ms.
+
+    nrow is the sublane row count of the streamed planes (the actual
+    packed shape -- 8-granular since round 4); gpad the padded grid
+    axis.  Bytes: P planes * nrow * gpad * 4 read once (D, V, w are
+    O(nao^2)/O(gpad) and negligible).  MXU: the two (nrow x n128 x gpad)
+    matmuls at their pass counts, plus the five skinny row-reduction
+    matmuls ((1, n)-shaped; m pads to 8 sublanes) at HIGHEST (6 passes).
+    Returns (floor_ms, bw_ms, mxu_ms)."""
+    planes = 4 if needs_grad else 1
+    n128 = (nao + 127) // 128 * 128
+    n8 = (nao + 7) // 8 * 8
+    bw_ms = planes * nrow * gpad * 4 / hbm_gbs / 1e6
+    skinny = 5 if needs_grad else 2  # rho, 3 grads, e-row | rho, e-row
+    mxu_flops = 2 * gpad * (
+        (phi_passes + v_passes) * n8 * n128 + 6 * skinny * 8 * n128
+    )
+    mxu_ms = mxu_flops / bf16_tflops / 1e9
+    return max(bw_ms, mxu_ms), bw_ms, mxu_ms
 
 
 def main() -> int:
@@ -145,6 +198,46 @@ def main() -> int:
     scf_s = time.time() - t0
     dm, eb, n_iter, done = res.dm, res.energy, res.n_iter, res.converged
 
+    bf16_peak, hbm_gbs = _device_peaks()
+    suspect_any = []
+
+    def _time_reps(call, reps):
+        """Elapsed seconds for `reps` chained calls + one materialization.
+        The reps chain through a running sum, so nothing can be DCE'd and
+        only ONE device->host fetch happens at the end."""
+        tot = None
+        t0 = time.time()
+        for _ in range(reps):
+            exc, _v = call()
+            tot = exc if tot is None else tot + exc
+        _ = float(tot)
+        return time.time() - t0
+
+    def _time_call(call, floor_ms=None, label=""):
+        """Per-call device ms by rep differencing: the constant dispatch
+        + ~33 ms tunnel round-trip cancels in t(n1+dn) - t(n1).  If the
+        result lands below the physical floor (impossible), double the
+        rep delta and retry; a persistently impossible number is
+        reported as None and flagged (round-3 bug: a fixed-constant
+        subtraction printed BW fractions of 4.5x the HBM roofline)."""
+        exc, _ = call()
+        _ = float(exc)  # warm: compile + first-call jitter
+        # pilot is itself a difference so the fetch round-trip doesn't
+        # inflate the per-call estimate for sub-ms kernels
+        pilot = max((_time_reps(call, 12) - _time_reps(call, 4)) / 8.0, 2e-4)
+        dn = max(8, min(2000, int(0.35 / pilot)))
+        n1 = max(2, dn // 8)
+        ms = None
+        for _attempt in range(4):
+            t_small = _time_reps(call, n1)
+            t_big = _time_reps(call, n1 + dn)
+            ms = (t_big - t_small) / dn * 1000.0
+            if ms > 0 and (floor_ms is None or ms >= floor_ms):
+                return ms, False
+            dn *= 2
+        suspect_any.append(label or "xc")
+        return (ms if ms and ms > 0 else None), True
+
     # XC per-call statistic on the converged density, timing the engine
     # that the SCF actually used (--xc-impl), not unconditionally f64
     use_pallas = xc_impl in ("pallas", "mixed", "fast")
@@ -155,28 +248,16 @@ def main() -> int:
     else:
         xc_fn = xc_step
 
-    def _time_xc(fn, reps, functional=None, dmx=None, args=None):
-        """block_until_ready is a NO-OP on axon arrays (verify skill);
-        the only real sync is materialization, so all reps chain into one
-        scalar fetched once, minus the ~33 ms round-trip."""
-        functional = functional or setup.functional
-        dmx = dmx if dmx is not None else dm
-        args = args or (sys_dev.ao, sys_dev.weights, sys_dev.ao_grad)
-        exc, vxc = fn(functional, dmx, *args)
-        _ = float(exc)
-        t0 = time.time()
-        tot = None
-        for _i in range(reps):
-            exc, vxc = fn(functional, dmx, *args)
-            tot = exc if tot is None else tot + exc
-        _ = float(tot)
-        return max(time.time() - t0 - 0.033, 1e-9) / reps * 1000.0
-
-    xc_ms = _time_xc(xc_fn, 20)
+    needs_grad = setup.functional.needs_grad
+    xc_ms, xc_sus = _time_call(
+        lambda: xc_fn(setup.functional, dm, sys_dev.ao, sys_dev.weights,
+                      sys_dev.ao_grad),
+        label="xc_unpacked",
+    )
 
     G, N = sys_dev.ao.shape
-    flops = _xc_flops(G, N, setup.functional.needs_grad)
-    gflops = flops / (xc_ms / 1000.0) / 1e9
+    flops = _xc_flops(G, N, needs_grad)
+    gflops = (flops / (xc_ms / 1000.0) / 1e9) if xc_ms else None
     extra = {
         "e_tot": round(float(eb.e_tot), 8),
         "converged": bool(done),
@@ -184,17 +265,41 @@ def main() -> int:
         "nao": int(N),
         "ngrid": int(G),
         "density_fit": bool(sys_dev.eri is None),
-        "xc_ms_per_call": round(xc_ms, 3),
-        "xc_gflops": round(gflops, 2),
+        "xc_ms_per_call": None if xc_ms is None else round(xc_ms, 3),
+        "xc_gflops": None if gflops is None else round(gflops, 2),
         "xc_impl": xc_impl,
         "xc_engine_timed": "pallas f32" if use_pallas else "jnp f64",
         "device": str(jax.devices()[0]),
+        "bf16_peak_tflops": bf16_peak,
+        "hbm_gbs": hbm_gbs,
         "setup_s": round(setup.build_time, 2),
         "total_s": None,  # filled below
     }
+
+    def _shape_row(per_ms, suspect, nao_s, nrow, gpad, grad_s,
+                   phi_passes=6, v_passes=3):
+        """Measured-vs-roofline record for one kernel shape."""
+        floor, bw_ms, mxu_ms = _xc_roofline_ms(
+            nao_s, nrow, gpad, grad_s, phi_passes, v_passes,
+            bf16_peak, hbm_gbs)
+        planes = 4 if grad_s else 1
+        mb = planes * nrow * gpad * 4 / 1e6
+        row = {
+            "xc_ms_per_call": None if per_ms is None else round(per_ms, 3),
+            "floor_ms_joint": round(floor, 3),
+            "floor_ms_bw": round(bw_ms, 3),
+            "floor_ms_mxu": round(mxu_ms, 3),
+            "binding_bound": "mxu" if mxu_ms >= bw_ms else "bw",
+        }
+        if per_ms:
+            row["frac_joint_roofline"] = round(floor / per_ms, 3)
+            row["bw_gbs"] = round(mb / per_ms, 1)
+            row["bw_frac"] = round(mb / per_ms / hbm_gbs, 3)
+        if suspect:
+            row["timing_suspect"] = True
+        return row
+
     if use_pallas:
-        extra["pallas_mfu"] = round(gflops / (_peak_tflops() * 1e3), 4)
-        extra["peak_f32_tflops"] = _peak_tflops()
         # the packed-input variant is what the SCF hot loop actually runs
         # (the standalone number above includes the per-call f64->f32
         # transpose of the AO planes)
@@ -204,33 +309,41 @@ def main() -> int:
         )
 
         packed = pack_pallas_inputs(sys_dev.ao, sys_dev.weights,
-                                    sys_dev.ao_grad,
-                                    n_grad=setup.functional.needs_grad)
-
-        def _packed_call(functional, dmx, *_):
-            return xc_step_pallas_packed(functional, dmx, packed[0],
-                                         packed[1], packed[2], N)
-
-        packed_ms = _time_xc(_packed_call, 20)
-        extra["xc_ms_per_call_packed"] = round(packed_ms, 3)
-        extra["pallas_mfu_packed"] = round(
-            flops / (packed_ms / 1000.0) / 1e9 / (_peak_tflops() * 1e3), 4
+                                    sys_dev.ao_grad, n_grad=needs_grad)
+        nrow_p, gpad_p = packed[0].shape
+        floor_p, _, _ = _xc_roofline_ms(N, nrow_p, gpad_p, needs_grad,
+                                        6, 3, bf16_peak, hbm_gbs)
+        packed_ms, packed_sus = _time_call(
+            lambda: xc_step_pallas_packed(setup.functional, dm, packed[0],
+                                          packed[1], packed[2], N),
+            floor_ms=floor_p, label="xc_packed",
         )
-        # honest ceiling for this kernel: HBM bandwidth, not the MXU
-        # (BASELINE.md roofline analysis) -- report achieved GB/s too
-        nplanes = 4 if setup.functional.needs_grad else 1
-        npad = (N + 127) // 128 * 128
-        gpad = packed[0].shape[1]
-        mb = nplanes * npad * gpad * 4 / 1e6
-        extra["xc_bw_gbs"] = round(mb / packed_ms, 1)
-        extra["xc_bw_frac_819"] = round(mb / packed_ms / 819.0, 3)
+        extra["xc_packed"] = _shape_row(packed_ms, packed_sus, N, nrow_p,
+                                        gpad_p, needs_grad)
         # the f64 number too, for the parity-path record
-        f64_ms = _time_xc(xc_step, 5)
-        extra["xc_ms_per_call_f64"] = round(f64_ms, 3)
+        f64_ms, f64_sus = _time_call(
+            lambda: xc_step(setup.functional, dm, sys_dev.ao,
+                            sys_dev.weights, sys_dev.ao_grad),
+            label="xc_f64",
+        )
+        extra["xc_ms_per_call_f64"] = (None if f64_ms is None
+                                       else round(f64_ms, 3))
+        try:
+            from quantum_compute_dft_tpu.engine.xc_engine import xc_step_f64_fast
 
-        # DHA-shape kernel row (VERDICT r2 item 5): the nao=152/pad-256
-        # number is the honest large-molecule one; benzene's nao=36 pads
-        # to 128 and overstates the waste
+            ff_ms, ff_sus = _time_call(
+                lambda: xc_step_f64_fast(setup.functional, dm, sys_dev.ao,
+                                         sys_dev.weights, sys_dev.ao_grad),
+                label="xc_f64_fast",
+            )
+            extra["xc_ms_per_call_f64_fast"] = (None if ff_ms is None
+                                                else round(ff_ms, 3))
+        except ImportError:
+            pass
+
+        # DHA-shape kernel rows (VERDICT r3 items 2-3): nao=152 is the
+        # honest large-molecule shape; benzene's nao=36 pads small and
+        # is BW-bound, DHA is where the MXU bound bites
         if MOLECULE != "DHA" and os.environ.get("BENCH_DHA_SHAPE", "1") == "1":
             try:
                 from quantum_compute_dft_tpu.scf.driver import initial_guess
@@ -243,40 +356,70 @@ def main() -> int:
                                         dha.sys.ao_grad, n_grad=True)
                 dmd = initial_guess(dha.sys)
                 nd = dha.sys.ao.shape[1]
+                nrow_d, gpad_d = pk[0].shape
 
-                def _dha_call(functional, dmx, *_):
-                    return xc_step_pallas_packed(functional, dmx, pk[0],
-                                                 pk[1], pk[2], nd)
-
-                def _dha_call_split(functional, dmx, *_):
-                    # the 3-pass bf16 phi_D variant the mixed schedule
-                    # runs in its far-from-convergence phase
-                    return xc_step_pallas_packed(functional, dmx, pk[0],
-                                                 pk[1], pk[2], nd,
-                                                 phi_split=True)
-
-                # warm-up discard: the first timed case in a fresh
-                # process measures artificially slow (verify skill)
-                _time_xc(_dha_call, 3, functional=dha.functional,
-                         dmx=dmd, args=(None,))
-                dha_ms = _time_xc(_dha_call, 20, functional=dha.functional,
-                                  dmx=dmd, args=(None,))
-                dha_ms_split = _time_xc(_dha_call_split, 20,
-                                        functional=dha.functional,
-                                        dmx=dmd, args=(None,))
-                npad_d = (nd + 127) // 128 * 128
-                mb_d = 4 * npad_d * pk[0].shape[1] * 4 / 1e6
+                floor_safe, _, _ = _xc_roofline_ms(
+                    nd, nrow_d, gpad_d, True, 6, 3, bf16_peak, hbm_gbs)
+                dha_ms, dha_sus = _time_call(
+                    lambda: xc_step_pallas_packed(
+                        dha.functional, dmd, pk[0], pk[1], pk[2], nd),
+                    floor_ms=floor_safe, label="dha_safe",
+                )
+                floor_split, _, _ = _xc_roofline_ms(
+                    nd, nrow_d, gpad_d, True, 3, 3, bf16_peak, hbm_gbs)
+                # the 3-pass bf16 phi_D variant the mixed schedule runs
+                # in its far-from-convergence phase
+                split_ms, split_sus = _time_call(
+                    lambda: xc_step_pallas_packed(
+                        dha.functional, dmd, pk[0], pk[1], pk[2], nd,
+                        phi_split=True),
+                    floor_ms=floor_split, label="dha_split",
+                )
                 extra["dha_shape"] = {
                     "nao": nd,
-                    "xc_ms_per_call_packed": round(dha_ms, 3),
-                    "xc_bw_gbs": round(mb_d / dha_ms, 1),
-                    "xc_bw_frac_819": round(mb_d / dha_ms / 819.0, 3),
-                    "xc_ms_per_call_phi_split": round(dha_ms_split, 3),
-                    "xc_bw_frac_819_phi_split": round(
-                        mb_d / dha_ms_split / 819.0, 3),
+                    "nrow_streamed": nrow_d,
+                    "safe": _shape_row(dha_ms, dha_sus, nd, nrow_d,
+                                       gpad_d, True, 6, 3),
+                    "phi_split": _shape_row(split_ms, split_sus, nd,
+                                            nrow_d, gpad_d, True, 3, 3),
                 }
+                # f64 anchor-path cost at DHA shape (VERDICT r3 item 3)
+                try:
+                    from quantum_compute_dft_tpu.engine.xc_engine import (
+                        xc_step_f64_fast,
+                    )
+
+                    dhaff_ms, dhaff_sus = _time_call(
+                        lambda: xc_step_f64_fast(
+                            dha.functional, dmd, dha.sys.ao,
+                            dha.sys.weights, dha.sys.ao_grad),
+                        label="dha_f64_fast",
+                    )
+                    extra["dha_shape"]["xc_ms_per_call_f64_fast"] = (
+                        None if dhaff_ms is None else round(dhaff_ms, 3))
+                    if dhaff_sus:
+                        extra["dha_shape"]["f64_fast_suspect"] = True
+                except ImportError:
+                    pass
+                # headline MFU: the packed DHA-shape kernel against the
+                # f32 MXU peak (bf16/2) -- the number the round-2/3
+                # verdicts asked to be the honest one
+                if dha_ms:
+                    dha_flops = _xc_flops(gpad_d, nd, True)
+                    extra["pallas_mfu"] = round(
+                        dha_flops / (dha_ms / 1e3) / 1e9
+                        / (bf16_peak / 2 * 1e3), 4)
+                    extra["pallas_mfu_shape"] = "dha_packed"
             except Exception as e:  # keep the headline bench robust
                 extra["dha_shape"] = {"error": f"{type(e).__name__}: {e}"}
+        if "pallas_mfu" not in extra and packed_ms:
+            extra["pallas_mfu"] = round(
+                _xc_flops(gpad_p, N, needs_grad) / (packed_ms / 1e3) / 1e9
+                / (bf16_peak / 2 * 1e3), 4)
+            extra["pallas_mfu_shape"] = f"{MOLECULE.lower()}_packed"
+
+    if suspect_any:
+        extra["timing_suspect"] = suspect_any
 
     # speedup vs the first recorded round (the reference publishes no
     # numbers, BASELINE.md): env override, else BENCH_r01.json when it
