@@ -33,6 +33,67 @@ from quantum_compute_dft_tpu.xc.functionals import Functional
 _NT = (((1,), (1,)), ((), ()))  # dot_general: contract last dim of both
 
 
+def _xc_block_f64_fast(functional: Functional, dm, aot, wt, grt,
+                       want_v: bool = True):
+    """(E_xc, V_half) of one grid block with the round-4 anchor split:
+    the DENSITY pipeline (phi_D, rho, grad-rho, sigma, functional,
+    E_xc reduction) stays exact f64, while the B assembly and the V GEMM
+    run in f32 at HIGHEST precision on the MXU.
+
+    Why this is the right f64 engine for the delta-tail anchor role
+    (scf.driver): the anchor's E_xc must be parity-grade (it is -- the
+    f64 density pipeline is bitwise the xc_step one), but the anchor's
+    V_xc only sets the point the f32 increments refine AROUND -- a
+    ~1e-7-relative V error shifts the converged density by O(eps) and
+    the final (exact-f64, energy-only) evaluation by O(eps^2) ~ 1e-14.
+    The V GEMM was half the f64 matmul FLOPs and the f64 B assembly
+    most of the emulated elementwise cost: measured at DHA shape this
+    cuts the per-call cost ~4x (1095 -> ~270 ms; BENCH_r04), vs the
+    reference engine that is f64 throughout (ref src/dft_solver.cu:57).
+    """
+    f32 = jnp.float32
+    H = jax.lax.Precision.HIGHEST
+    phi_d = dm @ aot                               # (nao, g) f64 matmul
+    rho = jnp.sum(phi_d * aot, axis=0)             # (g,) f64
+    aot32 = aot.astype(f32)
+    if functional.needs_grad:
+        # grad-rho via a two-term compensated f32 split: hi*hi products
+        # plus both first-order cross terms, each an f32 elementwise-
+        # reduce (the pure-f64 einsum was ~2/3 of the whole f64 XC cost
+        # at DHA -- 336 of 518 ms -- at ~5 GFLOP/s of emulated float-
+        # float VPU work).  The split restores the product truncation
+        # exactly; the residual is the f32 ACCUMULATION rounding of the
+        # nao-length reduction, ~sqrt(nao)*2^-24 ~ 1e-6 relative on
+        # grad_rho, entering E_xc only through the (small) vsigma terms
+        # as a smooth deterministic ~1e-8 shift (measured at DHA:
+        # |dE_xc| = 4e-9 vs the exact engine; BENCH_r04) -- absorbed by
+        # the delta-tail contract exactly like the f32 V below.
+        ph = phi_d.astype(f32)
+        plo = (phi_d - ph).astype(f32)
+        gh = grt.astype(f32)
+        glo = (grt - gh).astype(f32)
+        main = jnp.einsum("kng,ng->kg", gh, ph)
+        cross = (jnp.einsum("kng,ng->kg", gh, plo)
+                 + jnp.einsum("kng,ng->kg", glo, ph))
+        grad_rho = 2.0 * (main.astype(jnp.float64)
+                          + cross.astype(jnp.float64))
+        sigma = jnp.sum(grad_rho * grad_rho, axis=0)
+        e, vrho, vsigma = functional.exc_vxc(rho, sigma)        # f64
+        exc = wt @ e
+        gdot = jnp.einsum("kg,kng->ng", grad_rho.astype(f32), gh)
+        bt = wt.astype(f32)[None, :] * (
+            vrho.astype(f32)[None, :] * aot32
+            + 2.0 * vsigma.astype(f32)[None, :] * gdot
+        )
+    else:
+        e, vrho, _ = functional.exc_vxc(rho)
+        exc = wt @ e
+        bt = (wt * vrho).astype(f32)[None, :] * aot32
+    v_half = jax.lax.dot_general(aot32, bt, _NT, precision=H,
+                                 preferred_element_type=f32)
+    return exc, v_half.astype(dm.dtype)
+
+
 def _xc_block(functional: Functional, dm, aot, wt, grt, want_v: bool = True):
     """(E_xc, V_half) contribution of one grid block -- TRANSPOSED
     (nao, g) layout.  want_v=False skips the B assembly and the V GEMM
@@ -75,17 +136,18 @@ _XC_CHUNK = 32768
 
 
 def _xc_scan(functional: Functional, dm, ao, weights, ao_grad,
-             want_v: bool):
+             want_v: bool, block=None):
     """Shared chunked driver for xc_step / xc_energy: transpose to the
     (nao, g) layout, then lax.scan over fixed-size grid chunks -- the
     unchunked f64 pipeline materializes multi-GB (3, ngrid, nao)
     temporaries at DHA scale (measured 20 GB on a 16 GB chip); the scan
     bounds temporaries to one chunk, exactly like the Pallas tiling."""
+    block = block or _xc_block
     g, n = ao.shape
     aot = ao.T
     grt = None if ao_grad is None else jnp.swapaxes(ao_grad, 1, 2)
     if g <= 2 * _XC_CHUNK:
-        return _xc_block(functional, dm, aot, weights, grt, want_v=want_v)
+        return block(functional, dm, aot, weights, grt, want_v=want_v)
 
     c = _XC_CHUNK
     pad = (-g) % c
@@ -102,7 +164,7 @@ def _xc_scan(functional: Functional, dm, ao, weights, ao_grad,
     def body(carry, blk):
         exc_acc, v_acc = carry
         ao_b, w_b, gr_b = blk
-        exc, v_half = _xc_block(
+        exc, v_half = block(
             functional, dm, ao_b, w_b,
             gr_b if functional.needs_grad else None, want_v=want_v,
         )
@@ -186,6 +248,24 @@ def xc_step(
     """-> (E_xc scalar, V_xc (nao, nao) symmetric).  See _xc_scan."""
     exc, v_half = _xc_scan(functional, dm, ao, weights, ao_grad,
                            want_v=True)
+    return exc, 0.5 * (v_half + v_half.T)
+
+
+@functools.partial(jax.jit, static_argnames=("functional",))
+def xc_step_f64_fast(
+    functional: Functional,
+    dm: jnp.ndarray,
+    ao: jnp.ndarray,
+    weights: jnp.ndarray,
+    ao_grad: jnp.ndarray | None = None,
+):
+    """xc_step with the anchor-grade split (_xc_block_f64_fast): exact
+    f64 E_xc/density pipeline + f32-HIGHEST V GEMM.  ~4x cheaper than
+    xc_step at DHA shape; used by the staged driver for delta-tail
+    anchor evaluations, where V's ~1e-7 relative error perturbs the
+    final energy only at O(eps^2)."""
+    exc, v_half = _xc_scan(functional, dm, ao, weights, ao_grad,
+                           want_v=True, block=_xc_block_f64_fast)
     return exc, 0.5 * (v_half + v_half.T)
 
 

@@ -213,12 +213,86 @@ class SCFSystem:
     # lean-AO mode: (coords (ngrid,3), ao_eval.device_tables(basis)) for
     # the streamed f64 XC path; set when ao is None
     ao_tables: tuple | None = None
+    # shared-program mode (shape bucketing, scf/bucketing.py): when set,
+    # the jitted cycle programs receive this VALUE-hashable key as their
+    # static argument and the molecule tensors as a dynamic pytree
+    # (_ArgSys) -- so two molecules padded to the same bucket shapes
+    # reuse one compiled program instead of re-tracing (the identity
+    # hash below bakes every tensor in as an HLO constant, which made
+    # the 58-sweep pay 20-60 s of remote compiles PER MOLECULE,
+    # docs/RESULTS.md round 3)
+    shared_key: tuple | None = None
 
     def __hash__(self):  # static arg for jit: identity-based
         return id(self)
 
     def __eq__(self, other):
         return self is other
+
+
+class _ArgSys:
+    """Dynamic-tensor stand-in for SCFSystem inside SHARED jitted cycle
+    programs (shape bucketing): the per-molecule tensors travel as jit
+    ARGUMENTS (a registered pytree) instead of being baked into the HLO
+    as constants, and ``nocc`` is a traced i32 scalar so one compiled
+    program serves every molecule in the same shape bucket.  Exposes the
+    same attribute names the cycle bodies read off SCFSystem; the
+    DF-builder closures are None by construction (the shared path is
+    in-core only -- DF molecules are large enough that per-molecule
+    compiles are amortized)."""
+
+    df_coulomb = None
+    df_exchange = None
+    df_exchange_hi = None
+    df_coulomb_fast = None
+    df_exchange_fast = None
+    df_b64 = None
+    df_bq32 = None
+    df_j3c = None
+    df_v2c = None
+    dm_sad = None
+    ao_tables = None
+    shared_key = None
+
+    def __init__(self, hcore, s, x, weights, e_nuc, nocc, eri=None,
+                 ao=None, ao_grad=None, nopen=0):
+        self.hcore = hcore
+        self.s = s
+        self.x = x
+        self.weights = weights
+        self.e_nuc = e_nuc
+        self.nocc = nocc
+        self.eri = eri
+        self.ao = ao
+        self.ao_grad = ao_grad
+        self.nopen = nopen
+
+
+jax.tree_util.register_pytree_node(
+    _ArgSys,
+    lambda a: ((a.hcore, a.s, a.x, a.weights, a.e_nuc, a.nocc, a.eri,
+                a.ao, a.ao_grad), (a.nopen,)),
+    lambda aux, ch: _ArgSys(ch[0], ch[1], ch[2], ch[3], ch[4], ch[5],
+                            eri=ch[6], ao=ch[7], ao_grad=ch[8],
+                            nopen=aux[0]),
+)
+
+
+def _sys_split(sys):
+    """(static_arg, t_arg) for a jitted cycle call: identity-keyed
+    SCFSystem and no tensor argument (classic mode), or the value-
+    hashable shared_key plus the _ArgSys tensor pytree (shared mode).
+    The jitted bodies resolve ``sys = t_arg if t_arg is not None else
+    sys`` as their first step."""
+    key = getattr(sys, "shared_key", None)
+    if not key:
+        return sys, None
+    return key, _ArgSys(
+        sys.hcore, sys.s, sys.x, sys.weights,
+        jnp.asarray(sys.e_nuc, jnp.float64),
+        jnp.asarray(sys.nocc, jnp.int32),
+        eri=sys.eri, ao=sys.ao, ao_grad=sys.ao_grad, nopen=sys.nopen,
+    )
 
 
 class EnergyBreakdown(NamedTuple):
@@ -526,11 +600,51 @@ def _density_sanity(sys, dm_prev, dm_new):
     return dm_out, jnp.where(sane, 0.0, 1e3)
 
 
+def _density_dynocc(x, f, nocc, nopen: int = 0):
+    """_density with a TRACED occupied-orbital count (shared-program
+    mode): occupations come from an iota mask instead of a static slice,
+    and the sign-projector chemical potential uses dynamic takes of the
+    eigenvalue vector.  Same math, same TPU purification recovery."""
+    fp = x.T @ f @ x
+    w, cp = jnp.linalg.eigh(fp)
+    c = x @ cp
+    n = w.shape[0]
+    idx = jnp.arange(n)
+    occ = jnp.where(idx < nocc, 2.0, 0.0)
+    if nopen:
+        occ = occ + jnp.where((idx >= nocc) & (idx < nocc + nopen),
+                              1.0, 0.0)
+    dm_eigh = (c * occ) @ c.T
+    if not _tpu_backend():
+        return dm_eigh
+
+    eye = jnp.eye(n, dtype=fp.dtype)
+
+    def proj_at(k):
+        wl = jnp.take(w, jnp.maximum(k - 1, 0))
+        wu = jnp.take(w, jnp.minimum(k, n - 1))
+        return (_sign_projector_at(fp, w, 0.5 * (wl + wu), eye), wu - wl)
+
+    if nopen:
+        p0, gap0 = proj_at(nocc)
+        p1, gap1 = proj_at(nocc + nopen)
+        p = p0 + p1
+        gap = jnp.minimum(gap0, gap1)
+    else:
+        p, gap = proj_at(nocc)
+        p = 2.0 * p
+    dm_sign = x @ p @ x.T
+    dm_sign = 0.5 * (dm_sign + dm_sign.T)
+    ok = (gap > 1e-5) & (nocc > 0) & (nocc < n)
+    return jnp.where(ok, dm_sign, dm_eigh)
+
+
 def _density(x, f, nocc, nopen: int = 0):
     """Solve F C = S C e via the orthogonal basis; D = 2 C_occ C_occ^T
     (+ the singly-occupied HOMO for odd-electron systems, nopen=1 --
     fractional-occupation RKS; the reference crashes on these,
-    ref grid.py:45).
+    ref grid.py:45).  A traced (non-int) nocc dispatches to
+    _density_dynocc (shared-program mode).
 
     On TPU the eigh eigenvectors are only f32-quality, so the density is
     rebuilt eigendecomposition-free: the occupied-subspace projector is
@@ -543,6 +657,8 @@ def _density(x, f, nocc, nopen: int = 0):
     occupied subspace counted twice, the open HOMO once).  Falls back to
     the eigh density when the HOMO-LUMO gap is too small for the sign
     iteration to resolve."""
+    if not isinstance(nocc, int):
+        return _density_dynocc(x, f, nocc, nopen)
     fp = x.T @ f @ x
     w, cp = jnp.linalg.eigh(fp)
     c = x @ cp
@@ -616,10 +732,30 @@ def drop_packed(sys: SCFSystem) -> None:
     _PALLAS_PACK_CACHE.pop(sys, None)
 
 
-def _xc64_step(sys: SCFSystem, functional: Functional, dm, planes=None):
+def _xc64_step(sys: SCFSystem, functional: Functional, dm, planes=None,
+               fast: bool = False):
     """f64 XC (E_xc, V_xc): from explicit (ao, grad, weights) planes
     (the delta64 endgame's late-materialized, zero-weight-padded set),
-    sys planes, or the streamed on-device AO path (lean-AO mode)."""
+    sys planes, or the streamed on-device AO path (lean-AO mode).
+
+    fast=True selects the anchor-grade engine (xc_step_f64_fast: exact
+    f64 density pipeline + compensated split-f32 grad-rho + f32-HIGHEST
+    V GEMM; ~4x cheaper at DHA, measured dE_xc 1.3e-8 / dV 1.5e-6 vs
+    exact).  Used for delta-tail anchors and delta64 endgame cycles,
+    where the smooth deterministic bias cancels in |dE| and shifts the
+    final (exact-engine) energy only at O(eps^2); the strict 'f64'
+    xc_impl and the final parity evaluation keep the exact engine.
+    DFT_F64_ANCHOR=exact reverts."""
+    if fast and os.environ.get("DFT_F64_ANCHOR") == "exact":
+        fast = False
+    if fast and (planes is not None or sys.ao is not None):
+        from quantum_compute_dft_tpu.engine.xc_engine import xc_step_f64_fast
+
+        if planes is not None:
+            ao, ao_grad, w = planes
+            return xc_step_f64_fast(functional, dm, ao, w, ao_grad)
+        return xc_step_f64_fast(functional, dm, sys.ao, sys.weights,
+                                sys.ao_grad)
     if planes is not None:
         ao, ao_grad, w = planes
         return xc_step(functional, dm, ao, w, ao_grad)
@@ -739,15 +875,17 @@ def _fast_k(sys: SCFSystem, dm, k_arg):
 @functools.partial(jax.jit,
                    static_argnames=("sys", "functional", "smear_kt",
                                     "mixer"))
-def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis,
-                  shift=0.0, smear_kt: float = 0.0, mixer: str = "cdiis",
-                  mix_alpha=0.2):
+def _scf_iteration_impl(sys: SCFSystem, functional: Functional, dm, diis,
+                        shift=0.0, smear_kt: float = 0.0,
+                        mixer: str = "cdiis", mix_alpha=0.2, t_arg=None):
     """One SCF cycle: returns (dm_new, diis, EnergyBreakdown, E_xc parts).
     `shift` is the level-shift sigma (traced scalar; 0 = off);
     `smear_kt` > 0 switches to Fermi-smeared occupations (FON-RKS);
     `mixer` selects CDIIS (default), energy-based ADIIS (`diis` must
     then be an ADIISState), or 'mix' (damped linear mixing, no
     extrapolation -- see _cycle_tail's note; `diis` is left untouched)."""
+    if t_arg is not None:
+        sys = t_arg  # shared-program mode: tensors arrive as arguments
     j = _build_j(sys, dm)
     e_xc, vxc = _xc64_step(sys, functional, dm)
     c_hf = functional.hyb_coeff
@@ -777,6 +915,17 @@ def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis,
     )
     e_tot = e_one + e_coul + e_xc + e_ex + sys.e_nuc
     return dm_new, diis, EnergyBreakdown(e_tot, e_one, e_coul, e_xc, e_ex)
+
+
+def scf_iteration(sys: SCFSystem, functional: Functional, dm, diis,
+                  shift=0.0, smear_kt: float = 0.0, mixer: str = "cdiis",
+                  mix_alpha=0.2):
+    """See _scf_iteration_impl; this wrapper routes shared-mode systems'
+    tensors through as jit arguments (_sys_split)."""
+    key, targ = _sys_split(sys)
+    return _scf_iteration_impl(key, functional, dm, diis, shift=shift,
+                               smear_kt=smear_kt, mixer=mixer,
+                               mix_alpha=mix_alpha, t_arg=targ)
 
 
 def energy_of_dm(sys: SCFSystem, functional: Functional, dm,
@@ -827,11 +976,11 @@ def _fock(hcore, j, vxc, k, c_hf: float):
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "delta",
                                               "smear_kt", "phi_split",
                                               "fast_jk", "mixer"))
-def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
-                packed, base, delta: bool, shift=0.0,
-                smear_kt: float = 0.0, phi_split: bool = False,
-                fast_jk: bool = False, j_arg=None, k_arg=None,
-                mixer: str = "cdiis", mix_alpha=0.2):
+def _cycle_full_impl(sys: SCFSystem, functional: Functional, dm,
+                     diis: DIISState, packed, base, delta: bool, shift=0.0,
+                     smear_kt: float = 0.0, phi_split: bool = False,
+                     fast_jk: bool = False, j_arg=None, k_arg=None,
+                     mixer: str = "cdiis", mix_alpha=0.2, t_arg=None):
     """Whole Pallas-driven SCF cycle as ONE dispatch (XC custom call +
     J/K/Fock/DIIS/solve/energies): the Pallas graph is compact enough to
     fuse, unlike the f64 XC scan (which stays a separate dispatch -- the
@@ -839,23 +988,39 @@ def _cycle_full(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     cached transposed f32 planes from pack_pallas_inputs."""
     from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas_packed
 
+    sy = t_arg if t_arg is not None else sys
     aot, wt, grads = packed
     exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt, grads,
-                                           sys.hcore.shape[0],
+                                           sy.hcore.shape[0],
                                            phi_split=phi_split)
-    return _cycle_tail(sys, functional, dm, diis, exc_in, vxc_in,
-                       base if delta else None, k_hi=delta, shift=shift,
-                       smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg,
-                       k_arg=k_arg, mixer=mixer, mix_alpha=mix_alpha)
+    return _cycle_tail_impl(sys, functional, dm, diis, exc_in, vxc_in,
+                            base if delta else None, k_hi=delta,
+                            shift=shift, smear_kt=smear_kt,
+                            fast_jk=fast_jk, j_arg=j_arg, k_arg=k_arg,
+                            mixer=mixer, mix_alpha=mix_alpha, t_arg=t_arg)
+
+
+def _cycle_full(sys: SCFSystem, functional: Functional, dm,
+                diis: DIISState, packed, base, delta: bool, shift=0.0,
+                smear_kt: float = 0.0, phi_split: bool = False,
+                fast_jk: bool = False, j_arg=None, k_arg=None,
+                mixer: str = "cdiis", mix_alpha=0.2):
+    key, targ = _sys_split(sys)
+    return _cycle_full_impl(key, functional, dm, diis, packed, base,
+                            delta, shift=shift, smear_kt=smear_kt,
+                            phi_split=phi_split, fast_jk=fast_jk,
+                            j_arg=j_arg, k_arg=k_arg, mixer=mixer,
+                            mix_alpha=mix_alpha, t_arg=targ)
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "k_hi",
                                               "smear_kt", "fast_jk",
                                               "mixer"))
-def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
-                exc_in, vxc_in, base, k_hi: bool, shift=0.0,
-                smear_kt: float = 0.0, fast_jk: bool = False, j_arg=None,
-                k_arg=None, mixer: str = "cdiis", mix_alpha=0.2):
+def _cycle_tail_impl(sys: SCFSystem, functional: Functional, dm,
+                     diis: DIISState, exc_in, vxc_in, base, k_hi: bool,
+                     shift=0.0, smear_kt: float = 0.0,
+                     fast_jk: bool = False, j_arg=None, k_arg=None,
+                     mixer: str = "cdiis", mix_alpha=0.2, t_arg=None):
     """Everything after the XC build, fused into ONE dispatch: J, K,
     Fock assembly, DIIS, eigensolve/purification, energies, and the
     6-scalar stat vector.  Each separate dispatch enqueue costs ~25 ms
@@ -879,6 +1044,8 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     the exact-by-linearity fast increments whose noise shrinks with the
     remaining error.
     """
+    if t_arg is not None:
+        sys = t_arg  # shared-program mode: tensors arrive as arguments
     c_hf = functional.hyb_coeff
     if base is None:
         # fast_jk: False = f64 J + standard K; True = fast f32 J and K
@@ -962,6 +1129,19 @@ def _cycle_tail(sys: SCFSystem, functional: Functional, dm, diis: DIISState,
     return dm_new, diis, stat
 
 
+def _cycle_tail(sys: SCFSystem, functional: Functional, dm,
+                diis: DIISState, exc_in, vxc_in, base, k_hi: bool,
+                shift=0.0, smear_kt: float = 0.0, fast_jk: bool = False,
+                j_arg=None, k_arg=None, mixer: str = "cdiis",
+                mix_alpha=0.2):
+    key, targ = _sys_split(sys)
+    return _cycle_tail_impl(key, functional, dm, diis, exc_in, vxc_in,
+                            base, k_hi=k_hi, shift=shift,
+                            smear_kt=smear_kt, fast_jk=fast_jk,
+                            j_arg=j_arg, k_arg=k_arg, mixer=mixer,
+                            mix_alpha=mix_alpha, t_arg=targ)
+
+
 @functools.partial(jax.jit, static_argnames=("nocc", "nopen"))
 def _solve_density(x, f, dm, nocc: int, nopen: int = 0):
     dm_new = _density(x, f, nocc, nopen)
@@ -980,10 +1160,11 @@ def _energies(dm_new, hcore, j, k, e_xc, e_nuc, c_hf: float):
 @functools.partial(jax.jit, static_argnames=("sys", "functional", "delta",
                                               "smear_kt", "phi_split",
                                               "fast_jk", "n_steps"))
-def _cycle_block(sys: SCFSystem, functional: Functional, dm,
-                 diis: DIISState, packed, base, delta: bool, n_steps: int,
-                 shift=0.0, smear_kt: float = 0.0, phi_split: bool = False,
-                 fast_jk: bool = False, j_arg=None, k_arg=None):
+def _cycle_block_impl(sys: SCFSystem, functional: Functional, dm,
+                      diis: DIISState, packed, base, delta: bool,
+                      n_steps: int, shift=0.0, smear_kt: float = 0.0,
+                      phi_split: bool = False, fast_jk: bool = False,
+                      j_arg=None, k_arg=None, t_arg=None):
     """n_steps Pallas-driven SCF cycles as ONE dispatch (lax.scan over
     the _cycle_full body), returning the stacked per-cycle stat vectors.
     Each dispatch enqueue costs ~25 ms and each stat fetch ~33 ms over
@@ -994,22 +1175,36 @@ def _cycle_block(sys: SCFSystem, functional: Functional, dm,
     damping/level-shift guards cannot fire (smooth trajectories)."""
     from quantum_compute_dft_tpu.engine.pallas_xc import xc_step_pallas_packed
 
+    sy = t_arg if t_arg is not None else sys
     aot, wt, grads = packed
 
     def body(carry, _):
         dm, diis = carry
         exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt,
-                                               grads, sys.hcore.shape[0],
+                                               grads, sy.hcore.shape[0],
                                                phi_split=phi_split)
-        dm_new, diis, stat = _cycle_tail(
+        dm_new, diis, stat = _cycle_tail_impl(
             sys, functional, dm, diis, exc_in, vxc_in,
             base if delta else None, k_hi=delta, shift=shift,
             smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg, k_arg=k_arg,
+            t_arg=t_arg,
         )
         return (dm_new, diis), stat
 
     (dm, diis), stats = jax.lax.scan(body, (dm, diis), None, length=n_steps)
     return dm, diis, stats
+
+
+def _cycle_block(sys: SCFSystem, functional: Functional, dm,
+                 diis: DIISState, packed, base, delta: bool, n_steps: int,
+                 shift=0.0, smear_kt: float = 0.0, phi_split: bool = False,
+                 fast_jk: bool = False, j_arg=None, k_arg=None):
+    key, targ = _sys_split(sys)
+    return _cycle_block_impl(key, functional, dm, diis, packed, base,
+                             delta, n_steps, shift=shift,
+                             smear_kt=smear_kt, phi_split=phi_split,
+                             fast_jk=fast_jk, j_arg=j_arg, k_arg=k_arg,
+                             t_arg=targ)
 
 
 def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
@@ -1065,7 +1260,7 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         # superlinear in graph size) + the J/K-anchored fused tail
         with timer.phase("xc", sync=None):
             exc_in, vxc_in = _xc64_step(sys, functional, dm,
-                                        planes=xc_planes)
+                                        planes=xc_planes, fast=True)
         with timer.phase("cycle_tail"):
             base3 = (delta_base[0], delta_base[5], delta_base[6])
             dm_new, diis, stat = _cycle_tail(
@@ -1103,7 +1298,8 @@ def make_delta_base(sys: SCFSystem, functional: Functional, dm,
         if big:
             jax.device_get(x if x.ndim == 0 else x[0, 0])
 
-    exc0_64, vxc0_64 = _xc64_step(sys, functional, dm, planes=xc_planes)
+    exc0_64, vxc0_64 = _xc64_step(sys, functional, dm, planes=xc_planes,
+                                  fast=True)
     _fence(exc0_64)
     # the delta64 endgame only consumes (dm, k0, j0) -- skip the f32
     # anchor (whose packed planes drop_packed may already have freed)

@@ -54,6 +54,18 @@ def run_one(name: str, functional: str, grid_level: int, xc_impl: str,
         setup = kohn_sham.prepare(mol, functional, grid_level=grid_level)
     setup_s = time.time() - t0
 
+    # shape bucketing (SWEEP_BUCKET=0 disables): in-core molecules are
+    # zero-padded onto a handful of bucket shapes so the jitted cycle
+    # programs are COMPILED ONCE PER BUCKET and reused across molecules
+    # (round-3 cold sweep paid 20-60 s of remote compiles per molecule;
+    # scf/bucketing.py).  Energies are exact -- padded grid rows carry
+    # zero weight and padded orbitals are never occupied.
+    run_sys = setup.sys
+    if os.environ.get("SWEEP_BUCKET", "1") != "0":
+        from quantum_compute_dft_tpu.scf.bucketing import bucketize_system
+
+        run_sys, _ = bucketize_system(setup.sys)
+
     t0 = time.time()
     smear = 0.0
     impl_used = xc_impl
@@ -63,7 +75,7 @@ def run_one(name: str, functional: str, grid_level: int, xc_impl: str,
         # the anneal ladder instead of repeating the doomed attempt.
         r = None
     else:
-        r = scf_host_staged(setup.sys, setup.functional, xc_impl=xc_impl)
+        r = scf_host_staged(run_sys, setup.functional, xc_impl=xc_impl)
     if r is None or not r.converged:
         # integer occupations have no reachable fixed point for some
         # open-shell / near-degenerate systems (CuO); anneal instead.
@@ -74,7 +86,7 @@ def run_one(name: str, functional: str, grid_level: int, xc_impl: str,
         # 200 cycles where host/ADIIS converges in 61), and per-cycle
         # dispatch overhead is irrelevant for a rescue path.
         r2 = scf_host_annealed(
-            setup.sys, setup.functional, mixer="adiis+cdiis",
+            run_sys, setup.functional, mixer="adiis+cdiis",
         )
         if r2 is not None and (r is None or r2.converged):
             r, smear, impl_used = r2, r2.smear_kt, "f64"
