@@ -10,6 +10,18 @@ staged runner feeds the planes as runtime arguments, so its programs
 compile at every shape up to the 117-atom north star -- run the annealing
 ladder through it instead.
 
+Env hooks (all optional; tested in tests/test_rescue.py):
+  RESCUE_MIXER        mixer name (default cdiis)
+  RESCUE_XC           xc_impl for the ladder runs (default fast)
+  RESCUE_KTS          comma-separated kT rungs, e.g. "0.5,0.2,0.1"
+  RESCUE_MAX_CYCLE    per-rung cycle budget
+  RESCUE_RUNG_TOL_D / RESCUE_RUNG_TOL_E   loosened per-rung tolerances
+  RESCUE_ALPHA        damped-mixing alpha
+  RESCUE_DM0          .npy path: warm-start density
+  RESCUE_SAVE_DM      .npy path: persist the final density (even
+                      unconverged) so rescue attempts can chain
+  RESCUE_VERBOSE      print every 10th cycle
+
 Usage: python tools/rescue_staged_ladder.py [MOL ...]   (default: ABAQ Ca3P2)
 Merges converged rows into docs/results_58.json.
 """
@@ -27,15 +39,85 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(HERE, "docs", "results_58.json")
 
 
+def parse_env_hooks(env=None):
+    """RESCUE_* env plumbing -> (mixer, xc_impl, ladder-kwarg dict).
+    Pure parsing, unit-testable."""
+    env = os.environ if env is None else env
+    mixer = env.get("RESCUE_MIXER", "cdiis")
+    xc_impl = env.get("RESCUE_XC", "fast")
+    extra = {}
+    if kts := env.get("RESCUE_KTS", ""):
+        extra["kts"] = tuple(float(v) for v in kts.split(","))
+    if mc := env.get("RESCUE_MAX_CYCLE", ""):
+        extra["max_cycle"] = int(mc)
+    if rt := env.get("RESCUE_RUNG_TOL_D", ""):
+        extra["rung_conv_tol_d"] = float(rt)
+    if rte := env.get("RESCUE_RUNG_TOL_E", ""):
+        extra["rung_conv_tol_e"] = float(rte)
+    if al := env.get("RESCUE_ALPHA", ""):
+        extra["mix_alpha"] = float(al)
+    if dm0p := env.get("RESCUE_DM0", ""):
+        # warm-start the ladder from a saved density (e.g. a CPU
+        # low-grid anneal that already found the right basin -- ABAQ's
+        # smeared landscape has several stationary states tens of Eh
+        # apart in bare E)
+        import numpy as np
+
+        extra["dm0"] = np.load(dm0p)
+    return mixer, xc_impl, extra
+
+
+def rescue_system(sys_, functional, env=None, callback=None,
+                  annealed_fn=None, staged_fn=None):
+    """The full rescue protocol on an already-prepared system: env-driven
+    ladder + the loose-rung re-tighten pass.  Returns the result (None if
+    nothing met the full convergence rule).  annealed_fn / staged_fn are
+    injectable for tests; defaults are the production runners."""
+    from quantum_compute_dft_tpu.scf.driver import (
+        scf_host_annealed,
+        scf_host_staged,
+    )
+
+    env = os.environ if env is None else env
+    annealed_fn = annealed_fn or scf_host_annealed
+    staged_fn = staged_fn or scf_host_staged
+    mixer, xc_impl, extra = parse_env_hooks(env)
+    r = annealed_fn(sys_, functional, runner=staged_fn, xc_impl=xc_impl,
+                    mixer=mixer, callback=callback, **extra)
+    if sdm := env.get("RESCUE_SAVE_DM", ""):
+        # persist the final density (converged or not) so successive
+        # rescue attempts can chain warm starts
+        import numpy as np
+
+        if r is not None and getattr(r, "dm", None) is not None:
+            np.save(sdm, np.asarray(r.dm))
+            print(f"  saved dm -> {sdm}", flush=True)
+    if (r is not None and r.converged and r.smear_kt > 0
+            and "rung_conv_tol_d" in extra):
+        # the ladder returned a SMEARED rung converged only to the
+        # loosened rung tolerance (integer finish failed) -- re-run that
+        # kT at the caller's full convergence rule so the recorded row
+        # meets the same bar as every other sweep row
+        print(f"  tightening kT={r.smear_kt} to the full rule", flush=True)
+        rt = staged_fn(
+            sys_, functional, smear_kt=r.smear_kt, dm0=r.dm,
+            xc_impl=xc_impl, mixer=mixer,
+            max_cycle=extra.get("max_cycle", 300),
+            callback=callback,
+        )
+        if rt.converged:
+            rt.smear_kt = r.smear_kt
+            r = rt
+        else:
+            r = None  # loose rung alone must not count as converged
+    return r
+
+
 def main() -> int:
     names = sys.argv[1:] or ["Ca3P2", "ABAQ"]
     from quantum_compute_dft_tpu import kohn_sham
     from quantum_compute_dft_tpu.basis.data import provenance
     from quantum_compute_dft_tpu.mol import from_xyz_file
-    from quantum_compute_dft_tpu.scf.driver import (
-        scf_host_annealed,
-        scf_host_staged,
-    )
 
     results = json.load(open(OUT)) if os.path.exists(OUT) else {}
     for name in names:
@@ -46,67 +128,16 @@ def main() -> int:
             setup = kohn_sham.prepare(mol, "B3LYP", grid_level=3)
         setup_s = time.time() - t0
         t0 = time.time()
-        mixer = os.environ.get("RESCUE_MIXER", "cdiis")
-        kts_env = os.environ.get("RESCUE_KTS", "")
-        extra = {}
-        if kts_env:
-            extra["kts"] = tuple(float(v) for v in kts_env.split(","))
-        if mc := os.environ.get("RESCUE_MAX_CYCLE", ""):
-            extra["max_cycle"] = int(mc)
-        if rt := os.environ.get("RESCUE_RUNG_TOL_D", ""):
-            extra["rung_conv_tol_d"] = float(rt)
-        if rte := os.environ.get("RESCUE_RUNG_TOL_E", ""):
-            extra["rung_conv_tol_e"] = float(rte)
-        if al := os.environ.get("RESCUE_ALPHA", ""):
-            extra["mix_alpha"] = float(al)
-        if dm0p := os.environ.get("RESCUE_DM0", ""):
-            # warm-start the ladder from a saved density (e.g. a CPU
-            # low-grid anneal that already found the right basin --
-            # ABAQ's smeared landscape has several stationary states
-            # tens of Eh apart in bare E)
-            import numpy as np
 
-            extra["dm0"] = np.load(dm0p)
         def cb(cycle, eb, de, dnorm):
             if cycle % 10 == 0:
                 print(f"  cyc {cycle:3d} E={float(eb.e_tot):.8f} "
                       f"dD={float(dnorm):.2e}", flush=True)
 
-        r = scf_host_annealed(
+        r = rescue_system(
             setup.sys, setup.functional,
-            runner=scf_host_staged,
-            xc_impl=os.environ.get("RESCUE_XC", "fast"), mixer=mixer,
             callback=cb if os.environ.get("RESCUE_VERBOSE") else None,
-            **extra,
         )
-        if sdm := os.environ.get("RESCUE_SAVE_DM", ""):
-            # persist the final density (converged or not) so successive
-            # rescue attempts can chain warm starts
-            import numpy as np
-
-            if r is not None and getattr(r, "dm", None) is not None:
-                np.save(sdm, np.asarray(r.dm))
-                print(f"  saved dm -> {sdm}", flush=True)
-        if (r is not None and r.converged and r.smear_kt > 0
-                and "rung_conv_tol_d" in extra):
-            # the ladder returned a SMEARED rung converged only to the
-            # loosened rung tolerance (integer finish failed) -- re-run
-            # that kT at the caller's full convergence rule so the
-            # recorded row meets the same bar as every other sweep row
-            print(f"  tightening kT={r.smear_kt} to the full rule",
-                  flush=True)
-            rt = scf_host_staged(
-                setup.sys, setup.functional, smear_kt=r.smear_kt,
-                dm0=r.dm,
-                xc_impl=os.environ.get("RESCUE_XC", "fast"), mixer=mixer,
-                max_cycle=extra.get("max_cycle", 300),
-                callback=cb if os.environ.get("RESCUE_VERBOSE") else None,
-            )
-            if rt.converged:
-                rt.smear_kt = r.smear_kt
-                r = rt
-            else:
-                r = None  # loose rung alone must not count as converged
         scf_s = time.time() - t0
         print(f"{name}: conv={getattr(r, 'converged', None)} "
               f"E={getattr(r, 'e_tot', float('nan')):.8f} "
