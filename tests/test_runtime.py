@@ -129,3 +129,118 @@ def test_native_full_scf_benzene_gga(wrapper_cls):
     e_stat_nat = float(energy_of_dm(setup.sys, setup.functional, dm_nat).e_tot)
     e_stat_jax = float(energy_of_dm(setup.sys, setup.functional, res.dm).e_tot)
     assert abs(e_stat_nat - e_stat_jax) < 1e-8, (e_stat_nat, e_stat_jax)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 stratified oracle coverage (VERDICT r3 item 5): the independent
+# C++ engine referees the code paths PySCF would normally check but this
+# offline environment cannot -- d-shell basis functions (Se/Br 3d, Cu 3d)
+# and the density-fitted Fock build.  Matrix covered across the suite:
+# {light, d-shell} x {in-core, DF} x {LDA, GGA, B3LYP}.  Measured diffs
+# recorded in docs/oracle_diffs.md (tools/oracle_diffs.py).
+# ---------------------------------------------------------------------------
+
+
+def _native_vs_jax_scf(name, functional, tol=1e-8, density_fit=False):
+    from quantum_compute_dft_tpu.mol import from_xyz_file
+    from quantum_compute_dft_tpu.runtime import run_native_scf
+    from quantum_compute_dft_tpu.scf.driver import energy_of_dm, scf_host
+
+    import os
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "molecules")
+    mol = from_xyz_file(os.path.join(here, name + ".xyz"))
+    # the native engine always consumes in-core tensors; the JAX side
+    # optionally runs its DF path so the comparison referees DF itself
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        setup = kohn_sham.prepare(mol, functional, grid_level=1,
+                                  density_fit=density_fit)
+        setup_ic = (setup if not density_fit else
+                    kohn_sham.prepare(mol, functional, grid_level=1,
+                                      density_fit=False))
+    res = scf_host(setup.sys, setup.functional)
+    assert res.converged, (name, functional)
+    e_nat, dm_nat, _, conv = run_native_scf(
+        functional,
+        np.asarray(setup_ic.sys.hcore), np.asarray(setup_ic.sys.s),
+        np.asarray(setup_ic.sys.eri), np.asarray(setup_ic.sys.ao),
+        np.asarray(setup_ic.sys.weights),
+        None if setup_ic.sys.ao_grad is None
+        else np.asarray(setup_ic.sys.ao_grad),
+        setup_ic.sys.e_nuc, setup_ic.sys.nocc,
+    )
+    assert conv, (name, functional)
+    e_stat_nat = float(
+        energy_of_dm(setup_ic.sys, setup_ic.functional, dm_nat).e_tot)
+    e_stat_jax = float(
+        energy_of_dm(setup_ic.sys, setup_ic.functional,
+                     np.asarray(res.dm)).e_tot)
+    diff = abs(e_stat_nat - e_stat_jax)
+    assert diff < tol, (name, functional, e_stat_nat, e_stat_jax)
+    return diff
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,functional", [
+    ("SeO3", "B3LYP"),   # Se 3d shell + hybrid K
+    ("SeO3", "LDA"),     # d-shell, pure LDA path
+    ("HBr", "GGA"),      # Br 3d shell, GGA gradients
+    ("H2Se", "B3LYP"),   # second d-shell element, hybrid
+])
+def test_native_full_scf_d_shell(wrapper_cls, name, functional):
+    """Full-SCF cross-validation on d-shell molecules: the optimized-zeta
+    + d-function integral/AO code paths (basis/, integrals/, engine/)
+    against the independently written C++ engine (runtime/dft_host.cpp,
+    dual-number forward AD -- nothing shared with the JAX path)."""
+    _native_vs_jax_scf(name, functional, tol=1e-7)
+
+
+@pytest.mark.slow
+def test_native_full_scf_benzene_df(wrapper_cls):
+    """DF-path referee: the JAX SCF runs its Cholesky-DF Fock build, the
+    native engine its in-core build; both stationary energies at the
+    in-core Hamiltonian must agree to the DF error budget (<= ~1e-6,
+    pivoted-Cholesky tol 1e-7 * nao accumulation)."""
+    _native_vs_jax_scf("Benzene", "B3LYP", tol=1e-6, density_fit=True)
+
+
+@pytest.mark.slow
+def test_native_xc_coulomb_cuo_fon_density(wrapper_cls):
+    """CuO is an odd-electron doublet -- the plain native SCF has no
+    integer-occupation fixed point (the reference crashes on it, ref
+    grid.py:45), so the d-shell Cu path is refereed at the FIXED-density
+    level: XC (all 3 functionals) and J built by both engines on the SAD
+    density must agree to 1e-9."""
+    from quantum_compute_dft_tpu.mol import from_xyz_file
+    import os
+    import warnings
+
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "molecules")
+    mol = from_xyz_file(os.path.join(here, "CuO.xyz"))
+    for functional in ("LDA", "GGA", "B3LYP"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            setup = kohn_sham.prepare(mol, functional, grid_level=1,
+                                      density_fit=False)
+        dm = np.ascontiguousarray(np.asarray(initial_guess(setup.sys)))
+        e_ref, v_ref = xc_step(setup.functional, dm, setup.sys.ao,
+                               setup.sys.weights, setup.sys.ao_grad)
+        w = wrapper_cls(functional)
+        vxc = np.zeros_like(dm)
+        gr = (None if setup.sys.ao_grad is None
+              else np.ascontiguousarray(np.asarray(setup.sys.ao_grad)))
+        exc = w.compute_xc(
+            dm, np.ascontiguousarray(np.asarray(setup.sys.ao)),
+            np.ascontiguousarray(np.asarray(setup.sys.weights)), vxc, gr)
+        assert abs(exc - float(e_ref)) < 1e-9, functional
+        assert np.abs(vxc - np.asarray(v_ref)).max() < 1e-8, functional
+        n = dm.shape[0]
+        eri2 = np.ascontiguousarray(
+            np.asarray(setup.sys.eri).reshape(n * n, n * n))
+        out = np.zeros((n, n))
+        w.compute_coulomb(eri2, dm, out)
+        j_ref = coulomb_full(setup.sys.eri, dm)
+        assert np.abs(out - np.asarray(j_ref)).max() < 1e-10, functional
