@@ -52,6 +52,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _npad_for(n: int) -> int:
+    """Sublane row count of the packed AO planes: 8-granular (the f32
+    VPU sublane tile), NOT 128.  The MXU pads the matmuls' lane/
+    contraction dims to its 128x128 tile internally regardless, but the
+    STREAMED plane rows and every elementwise (nrow, tile) VPU op scale
+    with the stored row count -- at DHA (nao=152) the old 128-granular
+    padding streamed 256 rows, a 1.68x HBM and VPU tax the hardware
+    never required (round-4 instrument fix made this visible; see
+    BASELINE.md joint-roofline table).  DFT_PALLAS_NPAD_GRAN overrides
+    (A/B experiments; 128 restores the round-3 layout)."""
+    import os
+
+    return _round_up(n, int(os.environ.get("DFT_PALLAS_NPAD_GRAN", "8")))
+
+
 def _vmap_nd(fn, ndim: int):
     for _ in range(ndim):
         fn = jax.vmap(fn)
@@ -206,6 +221,11 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
 
 
 def _tile_for(npad: int, tile: int) -> int:
+    import os
+
+    t_env = os.environ.get("DFT_PALLAS_TILE")
+    if t_env:  # A/B experiments: force the grid-tile size
+        return int(t_env)
     # per-tile VMEM scales with tile*npad (streamed planes + temporaries,
     # double-buffered); shrink the grid tile as the AO dim grows so the
     # working set stays inside the (raised) VMEM budget at DHA-and-up sizes.
@@ -236,7 +256,7 @@ def pack_pallas_inputs(ao, weights, ao_grad=None, tile: int = DEFAULT_TILE,
     re-casting ~GBs of f64 AO planes per XC call (at DHA scale the cast +
     transpose cost ~10 ms/call of pure HBM traffic)."""
     g, n = ao.shape
-    npad = _round_up(n, 128)
+    npad = _npad_for(n)
     t = _tile_for(npad, tile)
     gpad = _round_up(g, t)
     f32 = jnp.float32
@@ -324,7 +344,7 @@ def xc_step_pallas(
     """Fused-tile XC build, f32: -> (E_xc, V_xc) with the same contract as
     engine.xc_engine.xc_step."""
     g, n = ao.shape
-    npad = _round_up(n, 128)
+    npad = _npad_for(n)
     tile = _tile_for(npad, tile)
     gpad = _round_up(g, tile)
 

@@ -253,7 +253,7 @@ def prepare(
         # measured to OOM at L1 scale.  Padded rows carry zero
         # quadrature weight -> the packed wt row zeroes their XC
         # contribution exactly.
-        npad = _px._round_up(basis.nao, 128)
+        npad = _px._npad_for(basis.nao)
         tl = _px._tile_for(npad, _px.DEFAULT_TILE)
         gpad_t = _px._round_up(int(w_pad.shape[0]), tl)
         aot = _px._pack_plane(ao_p, npad, gpad_t)
