@@ -184,9 +184,13 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
             e_ref[:, :] += jnp.broadcast_to(
                 mm(wt * e, jnp.ones((aot.shape[1], 128), f32)), (8, 128)
             )
-            # (1, tile) rows sublane-broadcast against (npad, tile) planes
+            # (1, tile) rows sublane-broadcast against (npad, tile)
+            # planes; w folds into the (1, tile) potential rows first so
+            # the plane-scale work is 3 ops (vr*ao, vs*gdot, add), not 4
             gdot = grx * gx + gry * gy + grz * gz
-            bt = wt * (vrho * aot + 2.0 * vsigma * gdot)
+            wvr = wt * vrho
+            wvs = 2.0 * wt * vsigma
+            bt = wvr * aot + wvs * gdot
             v_ref[:, :] += nt3(aoh, aol, bt)         # (npad, npad) MXU
 
     else:

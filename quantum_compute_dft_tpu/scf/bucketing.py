@@ -42,25 +42,29 @@ import numpy as np
 
 from quantum_compute_dft_tpu.scf.driver import SCFSystem, make_system
 
-# nao buckets: fine at the small end (most of the 58 molecules sit under
-# nao 40; over-padding is quadratic in the eigh/DIIS cost), then 16-step.
-NAO_BUCKETS = (8, 16, 24, 32, 40, 48, 64, 80, 96, 112, 128, 144, 160)
+# COARSE ladders, deliberately: every distinct (nao, grid) bucket pair
+# pays one full cycle-program compile set (~100-150 s of remote XLA over
+# the tunnel, measured round 4), while padding waste costs only
+# milliseconds of per-cycle compute at these sizes.  The first cold-demo
+# run used a 1.3x grid ladder and nearly every molecule landed on its
+# own rung -- zero reuse.  With 2x rungs the small half of the 58-sweep
+# collapses onto two or three shapes.
+NAO_BUCKETS = (16, 32, 48, 64, 96, 128, 160)
 
 
 def nao_bucket(n: int) -> int:
     for b in NAO_BUCKETS:
         if n <= b:
             return b
-    return -(-n // 16) * 16
+    return -(-n // 32) * 32
 
 
 def grid_bucket(g: int) -> int:
-    """~1.3x geometric ladder on 8192-multiples: bounded pad waste
-    (<=30% extra zero-weight rows, a few ms of XC per cycle) against a
-    handful of distinct compiled shapes across the whole sweep."""
-    b = 16384
+    """2x geometric ladder: at most 2x zero-weight padding (a few ms of
+    XC per cycle) against one compile set per rung."""
+    b = 49152
     while b < g:
-        b = -(-int(b * 1.3) // 8192) * 8192
+        b *= 2
     return b
 
 

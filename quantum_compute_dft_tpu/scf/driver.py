@@ -278,21 +278,31 @@ jax.tree_util.register_pytree_node(
 )
 
 
+import weakref as _weakref
+
+_ARGSYS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def _sys_split(sys):
     """(static_arg, t_arg) for a jitted cycle call: identity-keyed
     SCFSystem and no tensor argument (classic mode), or the value-
     hashable shared_key plus the _ArgSys tensor pytree (shared mode).
     The jitted bodies resolve ``sys = t_arg if t_arg is not None else
-    sys`` as their first step."""
+    sys`` as their first step.  The pytree is cached per system so the
+    e_nuc/nocc scalar device arrays are created once, not per cycle."""
     key = getattr(sys, "shared_key", None)
     if not key:
         return sys, None
-    return key, _ArgSys(
-        sys.hcore, sys.s, sys.x, sys.weights,
-        jnp.asarray(sys.e_nuc, jnp.float64),
-        jnp.asarray(sys.nocc, jnp.int32),
-        eri=sys.eri, ao=sys.ao, ao_grad=sys.ao_grad, nopen=sys.nopen,
-    )
+    targ = _ARGSYS_CACHE.get(sys)
+    if targ is None:
+        targ = _ArgSys(
+            sys.hcore, sys.s, sys.x, sys.weights,
+            jnp.asarray(sys.e_nuc, jnp.float64),
+            jnp.asarray(sys.nocc, jnp.int32),
+            eri=sys.eri, ao=sys.ao, ao_grad=sys.ao_grad, nopen=sys.nopen,
+        )
+        _ARGSYS_CACHE[sys] = targ
+    return key, targ
 
 
 class EnergyBreakdown(NamedTuple):

@@ -44,13 +44,13 @@ def setups():
 
 
 def test_buckets_are_coarse():
-    assert bucketing.nao_bucket(7) == 8
-    assert bucketing.nao_bucket(8) == 8
-    assert bucketing.nao_bucket(36) == 40
-    assert bucketing.nao_bucket(170) == 176
-    # ~1.3x ladder: few distinct grid shapes across the sweep range
+    assert bucketing.nao_bucket(7) == 16
+    assert bucketing.nao_bucket(16) == 16
+    assert bucketing.nao_bucket(36) == 48
+    assert bucketing.nao_bucket(170) == 192
+    # 2x ladder: a handful of distinct grid shapes across the sweep range
     ladder = {bucketing.grid_bucket(g) for g in range(10_000, 700_000, 7919)}
-    assert len(ladder) < 16
+    assert len(ladder) <= 5
 
 
 def test_bucketized_energy_matches_raw(setups):

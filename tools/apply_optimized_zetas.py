@@ -19,6 +19,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 HEADER = '''"""Variationally optimized STO-3G zetas for Z = 21-54 (GENERATED).
 
 Produced by tools/apply_optimized_zetas.py from a run of
@@ -47,7 +49,16 @@ reference sto-3g runs remains unclaimable for these elements.
 def main(path: str) -> int:
     with open(path) as f:
         data = json.load(f)
+    # MERGE into the already-shipped table: an incremental optimizer run
+    # (e.g. the round-4 Zr-Cd batch) must not drop the elements an
+    # earlier run produced
     out = {}
+    try:
+        from quantum_compute_dft_tpu.basis.zeta_optimized import OPTIMIZED
+
+        out.update({k: dict(v) for k, v in OPTIMIZED.items()})
+    except ImportError:
+        pass
     for sym, row in data.items():
         if "error" in row:
             print(f"skip {sym}: {row['error']}")
