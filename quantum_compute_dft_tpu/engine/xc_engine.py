@@ -182,7 +182,7 @@ _ONFLY_CHUNK = 8192
 
 
 def _xc_scan_onfly(functional: Functional, dm, coords, weights, tables,
-                   want_v: bool):
+                   want_v: bool, block=None):
     """Streamed variant of _xc_scan: the f64 AO values (and gradients)
     are evaluated ON DEVICE per grid chunk inside the scan body instead
     of being read from persistent (ngrid, nao) planes.  At the 117-atom
@@ -197,6 +197,7 @@ def _xc_scan_onfly(functional: Functional, dm, coords, weights, tables,
     weight, so both the energy and the B-matrix contributions vanish."""
     from quantum_compute_dft_tpu.engine.ao_eval import _eval_chunk
 
+    block = block or _xc_block
     centers, powers, alphas, tweights = tables
     g = coords.shape[0]
     c = _ONFLY_CHUNK
@@ -210,8 +211,8 @@ def _xc_scan_onfly(functional: Functional, dm, coords, weights, tables,
         ao_b, gr_b = _eval_chunk(crd_b, centers, powers, alphas, tweights,
                                  functional.needs_grad)
         grt = None if gr_b is None else jnp.swapaxes(gr_b, 1, 2)
-        exc, v_half = _xc_block(functional, dm, ao_b.T, w_b, grt,
-                                want_v=want_v)
+        exc, v_half = block(functional, dm, ao_b.T, w_b, grt,
+                            want_v=want_v)
         return (exc_acc + exc,
                 v_acc + v_half if want_v else v_acc), None
 
@@ -226,6 +227,17 @@ def xc_step_onfly(functional: Functional, dm, coords, weights, tables):
     """xc_step with on-device streamed AO evaluation (see _xc_scan_onfly)."""
     exc, v_half = _xc_scan_onfly(functional, dm, coords, weights, tables,
                                  want_v=True)
+    return exc, 0.5 * (v_half + v_half.T)
+
+
+@functools.partial(jax.jit, static_argnames=("functional",))
+def xc_step_onfly_fast(functional: Functional, dm, coords, weights, tables):
+    """Streamed-AO xc_step with the anchor-grade split (_xc_block_f64_fast):
+    the lean-AO counterpart of xc_step_f64_fast, for delta-tail anchors
+    and delta64 endgame cycles at north-star scale where no persistent
+    f64 planes exist."""
+    exc, v_half = _xc_scan_onfly(functional, dm, coords, weights, tables,
+                                 want_v=True, block=_xc_block_f64_fast)
     return exc, 0.5 * (v_half + v_half.T)
 
 

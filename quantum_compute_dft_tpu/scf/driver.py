@@ -758,14 +758,21 @@ def _xc64_step(sys: SCFSystem, functional: Functional, dm, planes=None,
     DFT_F64_ANCHOR=exact reverts."""
     if fast and os.environ.get("DFT_F64_ANCHOR") == "exact":
         fast = False
-    if fast and (planes is not None or sys.ao is not None):
-        from quantum_compute_dft_tpu.engine.xc_engine import xc_step_f64_fast
+    if fast:
+        from quantum_compute_dft_tpu.engine.xc_engine import (
+            xc_step_f64_fast,
+            xc_step_onfly_fast,
+        )
 
         if planes is not None:
             ao, ao_grad, w = planes
             return xc_step_f64_fast(functional, dm, ao, w, ao_grad)
-        return xc_step_f64_fast(functional, dm, sys.ao, sys.weights,
-                                sys.ao_grad)
+        if sys.ao is not None:
+            return xc_step_f64_fast(functional, dm, sys.ao, sys.weights,
+                                    sys.ao_grad)
+        coords, tables = sys.ao_tables  # lean-AO: streamed fast anchor
+        return xc_step_onfly_fast(functional, dm, coords, sys.weights,
+                                  tables)
     if planes is not None:
         ao, ao_grad, w = planes
         return xc_step(functional, dm, ao, w, ao_grad)
