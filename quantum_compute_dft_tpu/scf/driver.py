@@ -1010,8 +1010,11 @@ def _cycle_full_impl(sys: SCFSystem, functional: Functional, dm,
     exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt, grads,
                                            sy.hcore.shape[0],
                                            phi_split=phi_split)
+    # a 2-tuple base is the J-anchor of the 'fast' phase and passes
+    # through even with delta=False (see _cycle_tail_impl)
+    keep_base = delta or (base is not None and len(base) == 2)
     return _cycle_tail_impl(sys, functional, dm, diis, exc_in, vxc_in,
-                            base if delta else None, k_hi=delta,
+                            base if keep_base else None, k_hi=delta,
                             shift=shift, smear_kt=smear_kt,
                             fast_jk=fast_jk, j_arg=j_arg, k_arg=k_arg,
                             mixer=mixer, mix_alpha=mix_alpha, t_arg=t_arg)
@@ -1085,6 +1088,26 @@ def _cycle_tail_impl(sys: SCFSystem, functional: Functional, dm,
         else:
             j = _build_j(sys, dm)
         e_xc, vxc = exc_in, vxc_in
+        if c_hf == 0.0:
+            k = jnp.zeros_like(j)
+        elif fast_jk in (True, "k") and not k_hi:
+            k = _fast_k(sys, dm, k_arg)
+        else:
+            k = _build_k(sys, dm, hi=k_hi)
+    elif len(base) == 2:
+        # J-anchored 'fast' phase (round 4): exc_in/vxc_in are the
+        # per-cycle Pallas XC results exactly as in the base=None fast
+        # path, but J comes from ONE exact f64 evaluation at the anchor
+        # density plus an f32 increment by linearity -- the profiled
+        # DHA fast cycle was 61 ms of which the per-cycle f64 J matvec
+        # was 43 (the f64 matmul emulation never engages for matvecs:
+        # ~3 GFLOP/s); the increment's f32 rounding scales with
+        # ||dm - dm0||, and the host re-anchors on every dnorm decade,
+        # so the J error VANISHES toward convergence instead of
+        # stalling the ||dD|| < 1e-6 settling the way full-f32 J did.
+        dm0_b, j0_64 = base
+        e_xc, vxc = exc_in, vxc_in
+        j = j0_64 + _fast_j(sys, dm - dm0_b, k_arg)
         if c_hf == 0.0:
             k = jnp.zeros_like(j)
         elif fast_jk in (True, "k") and not k_hi:
@@ -1195,6 +1218,8 @@ def _cycle_block_impl(sys: SCFSystem, functional: Functional, dm,
     sy = t_arg if t_arg is not None else sys
     aot, wt, grads = packed
 
+    keep_base = delta or (base is not None and len(base) == 2)
+
     def body(carry, _):
         dm, diis = carry
         exc_in, vxc_in = xc_step_pallas_packed(functional, dm, aot, wt,
@@ -1202,7 +1227,7 @@ def _cycle_block_impl(sys: SCFSystem, functional: Functional, dm,
                                                phi_split=phi_split)
         dm_new, diis, stat = _cycle_tail_impl(
             sys, functional, dm, diis, exc_in, vxc_in,
-            base if delta else None, k_hi=delta, shift=shift,
+            base if keep_base else None, k_hi=delta, shift=shift,
             smear_kt=smear_kt, fast_jk=fast_jk, j_arg=j_arg, k_arg=k_arg,
             t_arg=t_arg,
         )
@@ -1418,6 +1443,11 @@ def scf_host_staged(
     dn_hist: list[float] = []  # mixed f32-phase dnorms (stall detector)
     dn_hist64: list[float] = []  # delta-phase dnorms (f64-XC endgame)
     fast_dn_streak = 0  # 'fast' phase: cycles with ||dD|| already converged
+    # J-anchor of the DF 'fast' phase: (dm0, J64(dm0)), re-anchored on
+    # every dnorm decade; per-cycle J is j0 + f32(increment) by
+    # linearity (see _cycle_tail_impl's 2-tuple base branch)
+    j_anchor = None
+    j_anchor_dn = float("inf")
     cycle = 0
     xc_planes = None  # lean-AO delta64 endgame: late-materialized planes
     xc_planes_decided = False
@@ -1486,6 +1516,24 @@ def scf_host_staged(
         # aux-major f32 factor for fast J/K and delta increments -- also
         # a jit argument, for the same transport-limit reason
         k_arg = sys.df_bq32
+        # J-anchor management for the DF 'fast' phase: the per-cycle f64
+        # J matvec was 43 of the 61 ms DHA cycle (the f64 matmul
+        # emulation never engages for matvecs); anchoring J at one exact
+        # evaluation and applying f32 increments by linearity removes it
+        # from the hot loop, with a ~43 ms re-anchor on each dnorm
+        # decade so the increment's f32 rounding shrinks with the
+        # remaining error (exactly the delta-tail J contract, applied
+        # from cycle 0).
+        dispatch_base = delta_base
+        if xc_impl == "fast" and impl == "pallas" and j_arg is not None:
+            if j_anchor is None or dnorm_prev < 0.1 * j_anchor_dn:
+                from quantum_compute_dft_tpu.integrals.density_fitting import (
+                    _cd_coulomb_q,
+                )
+
+                j_anchor = (dm, _cd_coulomb_q(j_arg, dm))
+                j_anchor_dn = dnorm_prev
+            dispatch_base = j_anchor
         # Block n cycles into one dispatch (see _cycle_block) when the
         # trajectory is smooth: past the first cycle, no level shift
         # active, and below the damping guard's radius -- there the
@@ -1500,7 +1548,7 @@ def scf_host_staged(
         if n > 1:
             packed = _packed_for(sys, functional.needs_grad)
             dm_new, diis, stats_dev = _cycle_block(
-                sys, functional, dm, diis, packed, delta_base,
+                sys, functional, dm, diis, packed, dispatch_base,
                 delta=impl == "delta", n_steps=n, shift=shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
                 j_arg=j_arg if impl == "pallas" else None, k_arg=k_arg,
@@ -1509,7 +1557,7 @@ def scf_host_staged(
         else:
             dm_new, diis, stat_dev = scf_iteration_staged(
                 sys, functional, dm, diis, timer=timer, xc_impl=impl,
-                delta_base=delta_base,
+                delta_base=dispatch_base,
                 shift=0.0 if (use_adiis or use_mix) else shiftc.shift,
                 smear_kt=smear_kt, phi_split=phi_split, fast_jk=fast_jk,
                 j_arg=j_arg, k_arg=k_arg, xc_planes=xc_planes,
