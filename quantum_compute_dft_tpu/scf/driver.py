@@ -1525,7 +1525,12 @@ def scf_host_staged(
         # remaining error (exactly the delta-tail J contract, applied
         # from cycle 0).
         dispatch_base = delta_base
-        if xc_impl == "fast" and impl == "pallas" and j_arg is not None:
+        # gate on factor size: at north-star scale (nao=377, rank 2150,
+        # 2.4 GB f64 factor) the standalone anchor program's workspace
+        # does not fit the knife-edge HBM budget (measured: compile OOM
+        # at 27 GB); those runs keep the in-cycle f64 J
+        if (xc_impl == "fast" and impl == "pallas" and j_arg is not None
+                and j_arg.size * j_arg.dtype.itemsize <= 1.0e9):
             if j_anchor is None or dnorm_prev < 0.1 * j_anchor_dn:
                 from quantum_compute_dft_tpu.integrals.density_fitting import (
                     _cd_coulomb_q,
