@@ -1301,8 +1301,19 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
         # f64 XC engine (separate dispatch -- the remote compiler is
         # superlinear in graph size) + the J/K-anchored fused tail
         with timer.phase("xc", sync=None):
+            # fast (anchor-grade) engine only below nao ~256: its split-
+            # f32 V carries ~1e-6 QUANTIZATION noise that is non-smooth
+            # in dm, and the delta64 endgame exists precisely because
+            # f32-class XC noise scales with nao past the ||dD|| < 1e-6
+            # criterion -- measured at the L1 north star (nao=377): the
+            # fast per-cycle engine pinned dn at 3-8e-6 for 400 cycles
+            # where the exact engine converged in 225.  One-time ANCHORS
+            # (make_delta_base) keep the fast engine at every scale: a
+            # constant Fock offset shifts the fixed point O(eps) without
+            # touching the settle.
             exc_in, vxc_in = _xc64_step(sys, functional, dm,
-                                        planes=xc_planes, fast=True)
+                                        planes=xc_planes,
+                                        fast=dm.shape[0] < 256)
         with timer.phase("cycle_tail"):
             base3 = (delta_base[0], delta_base[5], delta_base[6])
             dm_new, diis, stat = _cycle_tail(
