@@ -91,3 +91,33 @@ def test_vwn_variants_differ():
 def test_pw92_inside_pbe_c_at_zero_gradient():
     rho = jnp.asarray([0.4, 2.0])
     assert np.allclose(pbe_c(rho, jnp.zeros(2)), pw92_c(rho), atol=1e-13)
+
+
+def test_f64_fast_engine_matches_exact():
+    """xc_step_f64_fast (anchor-grade: exact f64 density pipeline +
+    compensated split-f32 grad-rho + f32-HIGHEST V GEMM) must track the
+    exact engine to its contract: E_xc to ~1e-9 at small scale, V to the
+    f32-accumulation class (relative ~1e-6 of the largest V entry)."""
+    import numpy as np
+
+    from quantum_compute_dft_tpu import kohn_sham
+    from quantum_compute_dft_tpu.engine.xc_engine import (
+        xc_step,
+        xc_step_f64_fast,
+    )
+    from quantum_compute_dft_tpu.mol import from_atoms
+    from quantum_compute_dft_tpu.scf.driver import initial_guess
+
+    h2o = [("O", (0.0, 0.0, 0.127)), ("H", (0.0, 0.758, -0.509)),
+           ("H", (0.0, -0.758, -0.509))]
+    for functional in ("LDA", "GGA", "B3LYP"):
+        setup = kohn_sham.prepare(from_atoms(h2o), functional, grid_level=1)
+        dm = initial_guess(setup.sys)
+        e0, v0 = xc_step(setup.functional, dm, setup.sys.ao,
+                         setup.sys.weights, setup.sys.ao_grad)
+        e1, v1 = xc_step_f64_fast(setup.functional, dm, setup.sys.ao,
+                                  setup.sys.weights, setup.sys.ao_grad)
+        assert abs(float(e0 - e1)) < 1e-9, functional
+        vmax = float(np.abs(np.asarray(v0)).max())
+        dv = float(np.abs(np.asarray(v0 - v1)).max())
+        assert dv < 5e-6 * max(vmax, 1.0), (functional, dv, vmax)
