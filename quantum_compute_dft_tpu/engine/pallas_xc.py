@@ -37,6 +37,7 @@ fine inside a Pallas kernel body.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -52,6 +53,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# A/B experiment knobs, read ONCE at import: reading them at jit-trace
+# time let a mid-process env change desynchronize the cached packed-plane
+# shapes (seeded by kohn_sham.prepare) from later xc_step_pallas traces.
+_ENV_NPAD_GRAN = int(os.environ.get("DFT_PALLAS_NPAD_GRAN", "8"))
+_ENV_TILE = os.environ.get("DFT_PALLAS_TILE")
+
+
 def _npad_for(n: int) -> int:
     """Sublane row count of the packed AO planes: 8-granular (the f32
     VPU sublane tile), NOT 128.  The MXU pads the matmuls' lane/
@@ -61,10 +69,9 @@ def _npad_for(n: int) -> int:
     padding streamed 256 rows, a 1.68x HBM and VPU tax the hardware
     never required (round-4 instrument fix made this visible; see
     BASELINE.md joint-roofline table).  DFT_PALLAS_NPAD_GRAN overrides
-    (A/B experiments; 128 restores the round-3 layout)."""
-    import os
-
-    return _round_up(n, int(os.environ.get("DFT_PALLAS_NPAD_GRAN", "8")))
+    (A/B experiments; 128 restores the round-3 layout; read at import,
+    see _ENV_NPAD_GRAN)."""
+    return _round_up(n, _ENV_NPAD_GRAN)
 
 
 def _vmap_nd(fn, ndim: int):
@@ -225,11 +232,11 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
 
 
 def _tile_for(npad: int, tile: int) -> int:
-    import os
-
-    t_env = os.environ.get("DFT_PALLAS_TILE")
-    if t_env:  # A/B experiments: force the grid-tile size
-        return int(t_env)
+    if _ENV_TILE:  # A/B experiments: force the grid-tile size (import-
+        # time read, see _ENV_TILE).  Round to the 1024 multiple the
+        # (8, tile/8) functional subtiling requires -- Mosaic rejects
+        # other shapes -- instead of letting the override bypass it.
+        return max(1024, int(_ENV_TILE) // 1024 * 1024)
     # per-tile VMEM scales with tile*npad (streamed planes + temporaries,
     # double-buffered); shrink the grid tile as the AO dim grows so the
     # working set stays inside the (raised) VMEM budget at DHA-and-up sizes.

@@ -72,15 +72,21 @@ def _xc_block_f64_fast(functional: Functional, dm, aot, wt, grt,
         plo = (phi_d - ph).astype(f32)
         gh = grt.astype(f32)
         glo = (grt - gh).astype(f32)
-        main = jnp.einsum("kng,ng->kg", gh, ph)
-        cross = (jnp.einsum("kng,ng->kg", gh, plo)
-                 + jnp.einsum("kng,ng->kg", glo, ph))
+        # precision=HIGHEST: the compensated split's ~1e-6 grad_rho
+        # budget assumes EXACT f32 products; if XLA ever lowered these
+        # batched contractions onto the MXU at DEFAULT (bf16) precision,
+        # product truncation would silently break the 1e-9 E_xc anchor
+        # contract.  Pin them like the V GEMM below.
+        main = jnp.einsum("kng,ng->kg", gh, ph, precision=H)
+        cross = (jnp.einsum("kng,ng->kg", gh, plo, precision=H)
+                 + jnp.einsum("kng,ng->kg", glo, ph, precision=H))
         grad_rho = 2.0 * (main.astype(jnp.float64)
                           + cross.astype(jnp.float64))
         sigma = jnp.sum(grad_rho * grad_rho, axis=0)
         e, vrho, vsigma = functional.exc_vxc(rho, sigma)        # f64
         exc = wt @ e
-        gdot = jnp.einsum("kg,kng->ng", grad_rho.astype(f32), gh)
+        gdot = jnp.einsum("kg,kng->ng", grad_rho.astype(f32), gh,
+                          precision=H)
         bt = wt.astype(f32)[None, :] * (
             vrho.astype(f32)[None, :] * aot32
             + 2.0 * vsigma.astype(f32)[None, :] * gdot

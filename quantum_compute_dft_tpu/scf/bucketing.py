@@ -37,6 +37,7 @@ for the XLA compilation model.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -83,6 +84,14 @@ def bucketize_system(sys: SCFSystem, n_bucket: int | None = None,
     g = int(sys.ao.shape[0])
     nb = max(n_bucket or 0, nao_bucket(n))
     gb = max(g_bucket or 0, grid_bucket(g))
+    # padded-ERI byte budget: padding scales as (nb/n)^4, so a molecule
+    # near the top of the in-core range that fits unpadded can OOM the
+    # 16 GB chip once bucketed (nao 130 -> bucket 160 grows the f64 ERI
+    # 2.3 -> 5.2 GB).  Above the budget, skip bucketing and let the
+    # molecule pay its own compile -- the same bailout class as the
+    # DF/lean-AO return above.
+    if nb ** 4 * 8 > float(os.environ.get("DFT_BUCKET_ERI_BYTES", 3.5e9)):
+        return sys, (n, g)
 
     hcore = np.zeros((nb, nb))
     h0 = np.asarray(sys.hcore)

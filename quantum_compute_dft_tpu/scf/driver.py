@@ -76,6 +76,8 @@ LEVEL_SHIFT_MAX = 4.0
 SHIFT_STALL = 8         # non-improving cycles before (re-)engaging
 SHIFT_MIN_DNORM = 1e-4  # below this DIIS is polishing; never engage
 SHIFT_RELEASE = 1e-3    # engaged + ||dD|| below this -> hand back to DIIS
+D64_REANCHOR_MAX = 6    # delta64 endgame: stall-triggered J/K re-anchor
+                        # budget (each costs one f64 J + K build)
 ADIIS_TO_CDIIS = 1e-2   # mixer='adiis+cdiis': ADIIS -> CDIIS handover
 MIX_TO_CDIIS = 3e-3     # mixer='mix+cdiis': damped-mixing -> CDIIS handover
 
@@ -1336,7 +1338,8 @@ def scf_iteration_staged(sys: SCFSystem, functional: Functional, dm,
 
 
 def make_delta_base(sys: SCFSystem, functional: Functional, dm,
-                    xc_planes=None, need_f32: bool = True):
+                    xc_planes=None, need_f32: bool = True,
+                    need_xc: bool = True):
     """f64 anchors for the 'delta' tail: one f64 XC + one f64 K + one f64
     J at the anchor density, plus the matching Pallas-f32 XC evaluation
     whose rounding cancels against later Pallas calls.
@@ -1351,9 +1354,15 @@ def make_delta_base(sys: SCFSystem, functional: Functional, dm,
         if big:
             jax.device_get(x if x.ndim == 0 else x[0, 0])
 
-    exc0_64, vxc0_64 = _xc64_step(sys, functional, dm, planes=xc_planes,
-                                  fast=True)
-    _fence(exc0_64)
+    # need_xc=False: the delta64 endgame consumes only (dm, k0, j0) --
+    # its per-cycle XC is a fresh f64 evaluation, so (re-)anchors can
+    # skip the XC anchor entirely (at north-star scale that is seconds
+    # of streamed-AO work per re-anchor)
+    exc0_64 = vxc0_64 = None
+    if need_xc:
+        exc0_64, vxc0_64 = _xc64_step(sys, functional, dm,
+                                      planes=xc_planes, fast=True)
+        _fence(exc0_64)
     # the delta64 endgame only consumes (dm, k0, j0) -- skip the f32
     # anchor (whose packed planes drop_packed may already have freed)
     exc0_32 = vxc0_32 = None
@@ -1453,6 +1462,8 @@ def scf_host_staged(
     anchor_dnorm = float("inf")
     dn_hist: list[float] = []  # mixed f32-phase dnorms (stall detector)
     dn_hist64: list[float] = []  # delta-phase dnorms (f64-XC endgame)
+    dn_hist_d64: list[float] = []  # delta64-phase dnorms (re-anchoring)
+    d64_reanchors = 0
     fast_dn_streak = 0  # 'fast' phase: cycles with ||dD|| already converged
     # J-anchor of the DF 'fast' phase: (dm0, J64(dm0)), re-anchored on
     # every dnorm decade; per-cycle J is j0 + f32(increment) by
@@ -1486,13 +1497,20 @@ def scf_host_staged(
                 # before the anchor build enqueues its own multi-GB work
                 float(sys.hcore[0, 0])
         if impl == "delta64" and delta_base is None:
-            # entered straight from the pallas phase (xc64_tail='on'):
-            # build the J/K anchors once; no refresh is ever needed --
-            # the linear increments' noise shrinks with the remaining
-            # error regardless of anchor staleness
+            # entered straight from the pallas phase (xc64_tail='on') or
+            # via a stall-triggered RE-ANCHOR (see the delta64 stall
+            # detector below): J/K anchors at the CURRENT density.  The
+            # round-4 "no refresh is ever needed" claim was wrong at
+            # north-star scale: the f32 J/K increments' quantization
+            # noise scales with ||dm - dm0||, and with the anchor frozen
+            # at the delta64 entry density that floor sat at ~1e-6 in
+            # ||dD|| (two L1 re-runs danced at 1-8e-6 for 400 cycles,
+            # BASELINE.md round-4 note).  Re-anchoring at the current
+            # density collapses the increments -- the map becomes
+            # effectively exact and the settle is deterministic.
             delta_base = make_delta_base(sys, functional, dm,
                                          xc_planes=xc_planes,
-                                         need_f32=False)
+                                         need_f32=False, need_xc=False)
         if impl == "delta" and (
             delta_base is None or cycles_since_anchor >= delta_refresh
             # optional near-convergence re-anchoring (off by default --
@@ -1610,7 +1628,12 @@ def scf_host_staged(
             # has been converged for 8 straight cycles, hand the
             # candidate fixed point to the f64-anchored verify tail --
             # where |dE| is anchored-precise -- instead of waiting.
+            # (`fast_verify_pending` in the gate: the |dE|-free shortcut
+            # is only sound because the candidate is routed through the
+            # f64-anchored verify tail -- never let it produce a final
+            # result directly)
             if (xc_impl == "fast" and impl == "pallas"
+                    and fast_verify_pending
                     and converged_at is None and not converged):
                 fast_dn_streak = (fast_dn_streak + 1
                                   if dnorm < conv_tol_d else 0)
@@ -1666,6 +1689,32 @@ def scf_host_staged(
                         and dnorm > 0.5 * min(dn_hist64[:-8])):
                     impl = "delta64"
                     delta_fresh_diis = True
+                    # drop the delta tail's anchor: it may be up to
+                    # delta_refresh cycles stale, and the endgame's
+                    # noise floor is set by ||dm - dm0|| (see the
+                    # delta64 re-anchor note at the base build)
+                    delta_base = None
+            # delta64-phase stall detector -> RE-ANCHOR: when the best
+            # ||dD|| seen 8+ cycles ago hasn't improved 2x since, the
+            # endgame sits at the noise floor of its f32 J/K increments
+            # (~ f32 quantization of ||dm - dm0||-sized quantities --
+            # non-smooth in dm, so CDIIS cannot extrapolate through it).
+            # Rebuild the J/K anchors at the CURRENT density and drop
+            # the noise-floor DIIS history: the increments collapse to
+            # ~||dD||-sized, their noise to O(1e-6 * ||dD||), and the
+            # now-effectively-exact map settles decisively below the
+            # criterion instead of dancing at 1-8e-6 (the round-4 L1
+            # boundary lottery, BASELINE.md).
+            if impl == "delta64" and delta_base is not None:
+                dn_hist_d64.append(dnorm)
+                if (d64_reanchors < D64_REANCHOR_MAX
+                        and len(dn_hist_d64) >= 12
+                        and dnorm < 1e-4 and dnorm > conv_tol_d
+                        and dnorm > 0.5 * min(dn_hist_d64[:-6])):
+                    delta_base = None   # re-anchor at dm_new next pass
+                    d64_reanchors += 1
+                    dn_hist_d64 = []
+                    delta_fresh_diis = True
             # feed the controller until its FIRST action in this block:
             # rows after an engage/escalate/release ran under the OLD
             # shift, and feeding them would e.g. release a shift that
@@ -1718,7 +1767,8 @@ def scf_host_staged(
                 e_tot = eb.e_tot
             return SCFResult(True, converged_at, dm_new, eb, e_tot,
                              level_shift=shiftc.shift,
-                             shift_engaged_at=shiftc.engaged_at)
+                             shift_engaged_at=shiftc.engaged_at,
+                             d64_reanchors=d64_reanchors)
         if delta_fresh_diis and not shift_acted:
             use_adiis = False
             use_mix = False
@@ -1737,7 +1787,8 @@ def scf_host_staged(
         e_tot = eb.e_tot
     return SCFResult(False, max_cycle, dm, eb, e_tot,
                      level_shift=shiftc.shift,
-                     shift_engaged_at=shiftc.engaged_at)
+                     shift_engaged_at=shiftc.engaged_at,
+                     d64_reanchors=d64_reanchors)
 
 
 def scf_host_annealed(
@@ -1817,6 +1868,9 @@ class SCFResult:
     # occupations); set by scf_host_annealed so callers can report the
     # coldest rung that actually converged
     smear_kt: float = 0.0
+    # delta64 endgame: stall-triggered J/K re-anchor count (tests and
+    # the north-star runs assert the boundary-lottery fix engaged)
+    d64_reanchors: int = 0
 
 
 def scf_host(

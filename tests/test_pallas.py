@@ -172,6 +172,29 @@ def test_mixed_delta64_endgame_matches_f64(monkeypatch):
 
 
 @pytest.mark.slow
+def test_delta64_stall_reanchors(monkeypatch):
+    """delta64 endgame boundary-lottery fix (round 5): with an
+    unreachably tight ||dD|| tolerance the endgame stalls at the f32
+    J/K-increment noise floor; the stall detector must RE-ANCHOR the
+    J/K base at the current density (SCFResult.d64_reanchors > 0)
+    instead of dancing there forever, and the reported energy must stay
+    parity-grade.  This is the small-scale model of the round-4 L1
+    north-star failure (||dD|| pinned at 1-8e-6 for 400 cycles)."""
+    from quantum_compute_dft_tpu.scf.driver import scf_host_staged
+
+    setup = kohn_sham.prepare(from_atoms(H2O), "B3LYP", grid_level=0,
+                              density_fit=True)
+    r_ref = scf_host_staged(setup.sys, setup.functional, xc_impl="f64")
+    # conv_tol_d below the f64 roundoff floor: the endgame can never
+    # meet it, so it must stall and the detector must fire
+    r = scf_host_staged(setup.sys, setup.functional, xc_impl="mixed",
+                        xc64_tail="on", conv_tol_d=1e-15,
+                        max_cycle=120)
+    assert r.d64_reanchors >= 1, (r.d64_reanchors, r.converged, r.n_iter)
+    assert abs(r.e_tot - r_ref.e_tot) < 1e-7, (r.e_tot, r_ref.e_tot)
+
+
+@pytest.mark.slow
 def test_mixed_delta_scf_incore_hybrid(monkeypatch):
     """The delta tail with an IN-CORE hybrid (sys.eri present): the K
     anchor must be built there too -- caught live on TPU as
