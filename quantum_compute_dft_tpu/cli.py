@@ -221,6 +221,16 @@ def main(argv=None) -> int:
             smear_kt=args.smear_kt,
         )
         if staged:
+            if args.checkpoint:
+                # mid-run periodic saves (atomic): a crash at cycle 200
+                # of a 20-minute run resumes from the last save instead
+                # of the Hcore guess
+                from quantum_compute_dft_tpu.scf.checkpoint import (
+                    periodic_saver,
+                )
+
+                kwargs["checkpoint_cb"] = periodic_saver(
+                    args.checkpoint, setup.functional.name, mol_name)
             res = scf_host_staged(setup.sys, setup.functional,
                                   xc_impl=args.xc_impl, **kwargs)
         else:
@@ -239,6 +249,7 @@ def main(argv=None) -> int:
                   "(Fermi smearing, kT 0.5 annealed toward 0.1; the "
                   "coldest converged rung is reported)")
             kwargs.pop("smear_kt")
+            kwargs.pop("checkpoint_cb", None)  # staged-loop-only arg
             # the ladder always runs on the plain host loop with the
             # ADIIS->CDIIS mixer: the staged runner's CDIIS-only stack
             # charge-sloshes on exactly the systems the ladder is for

@@ -1407,6 +1407,12 @@ def scf_host_staged(
     # the 1e-6 criterion), 'on' enters it straight at the precision
     # switch (tests), 'off' never
     xc64_tail: str = "auto",
+    # mid-run checkpointing: called as checkpoint_cb(cycle, dm, e_tot)
+    # every checkpoint_every cycles (see scf.checkpoint.periodic_saver)
+    # -- the staged loop holds dm host-side every block anyway, so the
+    # only added cost is one ~nao^2 device fetch per save
+    checkpoint_cb: Callable | None = None,
+    checkpoint_every: int = 25,
 ) -> SCFResult:
     """xc_impl: 'f64', 'pallas', 'mixed', or 'fast'.
 
@@ -1778,6 +1784,10 @@ def scf_host_staged(
             dm_new = 0.5 * (dm_new + dm)  # see DAMP_* note above
         dm = dm_new
         cycle += n
+        if (checkpoint_cb is not None and checkpoint_every > 0
+                and cycle // checkpoint_every
+                    > (cycle - n) // checkpoint_every):
+            checkpoint_cb(cycle, np.asarray(dm), e_old)
     if max_cycle > 0:
         # the loop's last eb was computed from the pre-damping dm_new;
         # report the energy of the density actually returned

@@ -48,6 +48,31 @@ def test_checkpoint_roundtrip_and_resume(setup, tmp_path):
     assert abs(res2.e_tot - res.e_tot) < 1e-8
 
 
+def test_midrun_checkpoint_resume(setup, tmp_path):
+    """Periodic mid-run checkpointing (round 5): interrupt the staged
+    loop after a few cycles via max_cycle, with a periodic saver firing
+    every 2 cycles; resuming from the last saved (non-converged) density
+    must reproduce the uninterrupted run's converged energy to 1e-8."""
+    from quantum_compute_dft_tpu.scf.checkpoint import periodic_saver
+
+    p = str(tmp_path / "mid.npz")
+    r_full = scf_host_staged(setup.sys, setup.functional)
+    # "crash" at cycle 4: the run is cut off unconverged, but the saver
+    # has checkpointed the in-progress density
+    r_cut = scf_host_staged(
+        setup.sys, setup.functional, max_cycle=4,
+        checkpoint_cb=periodic_saver(p, "LDA", "H2O"),
+        checkpoint_every=2,
+    )
+    assert not r_cut.converged and os.path.exists(p)
+    ck = load_checkpoint(p)
+    assert 0 < ck["cycle"] <= 4
+    r_res = scf_host_staged(setup.sys, setup.functional, dm0=ck["dm"])
+    assert r_res.converged
+    assert r_res.n_iter < r_full.n_iter  # warm start saves cycles
+    assert abs(r_res.e_tot - r_full.e_tot) < 1e-8
+
+
 def test_phase_timer(setup):
     timer = PhaseTimer()
     scf_host_staged(setup.sys, setup.functional, timer=timer)
