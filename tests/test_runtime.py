@@ -207,6 +207,58 @@ def test_native_full_scf_benzene_df(wrapper_cls):
 
 
 @pytest.mark.slow
+def test_native_full_scf_h2seo4_df(wrapper_cls):
+    """Second DF d-shell referee (round 5): JAX Cholesky-DF SCF vs the
+    native in-core engine on a d-shell molecule -- DF + optimized-zeta
+    + d-function paths exercised together."""
+    _native_vs_jax_scf("H2SeO4", "B3LYP", tol=1e-6, density_fit=True)
+
+
+@pytest.mark.slow
+def test_native_xc_dha_lean_ao(wrapper_cls):
+    """Production-path referee at scale (round 5): the lean-AO STREAMED
+    XC (xc_step_onfly -- the exact code path of the nao>=100 TPU runs,
+    never cross-checked above nao=36 before) vs the C++ engine at DHA
+    shape (nao=152), fixed SAD density, grid level 1.  No SCF and no
+    (nao^4) ERI needed: the C ABI XC entry point referees E_xc/V_xc
+    directly."""
+    import os
+    import warnings
+
+    import jax.numpy as jnp
+
+    from quantum_compute_dft_tpu.engine.ao_eval import eval_planes_scan
+    from quantum_compute_dft_tpu.engine.xc_engine import xc_step_onfly
+    from quantum_compute_dft_tpu.mol import from_xyz_file
+
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "molecules")
+    mol = from_xyz_file(os.path.join(here, "DHA.xyz"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        setup = kohn_sham.prepare(mol, "B3LYP", grid_level=1,
+                                  density_fit=True, lean_ao=True)
+    assert setup.sys.ao is None  # the streamed path is the one under test
+    assert setup.nao >= 100
+    dm = np.ascontiguousarray(np.asarray(initial_guess(setup.sys)))
+    coords, tables = setup.sys.ao_tables
+    e_jax, v_jax = xc_step_onfly(setup.functional, dm, coords,
+                                 setup.sys.weights, tables)
+    g = int(setup.sys.weights.shape[0])
+    pad = (-g) % 8192
+    crd_pad = jnp.pad(jnp.asarray(coords), ((0, pad), (0, 0)))
+    ao, gr = eval_planes_scan(crd_pad, tables, True, 8192)
+    w = wrapper_cls("B3LYP")
+    vxc = np.zeros_like(dm)
+    exc = w.compute_xc(
+        dm, np.ascontiguousarray(np.asarray(ao)[:g]),
+        np.ascontiguousarray(np.asarray(setup.sys.weights)), vxc,
+        np.ascontiguousarray(np.asarray(gr)[:, :g]))
+    assert abs(exc - float(e_jax)) < 1e-8
+    assert np.abs(vxc - np.asarray(v_jax)).max() < 1e-8
+
+
+@pytest.mark.slow
 def test_native_xc_coulomb_cuo_fon_density(wrapper_cls):
     """CuO is an odd-electron doublet -- the plain native SCF has no
     integer-occupation fixed point (the reference crashes on it, ref

@@ -34,6 +34,7 @@ ROWS = [
     ("HBr", "GGA", False, "d-shell (Br 3d), in-core"),
     ("H2Se", "B3LYP", False, "d-shell (Se 3d), in-core + hybrid K"),
     ("Benzene", "B3LYP", True, "light, JAX side Cholesky-DF"),
+    ("H2SeO4", "B3LYP", True, "d-shell (Se 3d), JAX side Cholesky-DF"),
 ]
 
 
@@ -121,6 +122,53 @@ def main() -> int:
                                                         dm))).max())
         print(f"CuO/{fn}: dExc={de:.3e} dV={dv:.3e} dJ={dj:.3e}", flush=True)
         lines.append(f"| {fn} | {de:.2e} | {dv:.2e} | {dj:.2e} |")
+
+    # DHA at production scale (round 5): the largest prior full-SCF
+    # cross-check was nao=36 (benzene); nothing on the production
+    # lean-AO path at nao>=100 had ever been compared against the
+    # independent engine.  The C ABI XC entry point needs no SCF and no
+    # (nao^4) ERI, so the fixed-density E_xc/V_xc comparison runs at
+    # DHA shape (nao=152) against the JAX stack's STREAMED lean-AO
+    # values -- the exact code path the production TPU runs execute.
+    from quantum_compute_dft_tpu.engine.ao_eval import eval_planes_scan
+    from quantum_compute_dft_tpu.engine.xc_engine import xc_step_onfly
+
+    lines += [
+        "",
+        "DHA (C14H12O2, nao=152) at grid level 1 -- fixed-density",
+        "E_xc/V_xc through the PRODUCTION lean-AO streamed path",
+        "(engine.xc_engine.xc_step_onfly, the north-star code path)",
+        "vs the C++ engine on explicitly evaluated planes:",
+        "",
+        "| Functional | ngrid | dE_xc (Eh) | max dV_xc |",
+        "|---|---|---|---|",
+    ]
+    mol = from_xyz_file(os.path.join(HERE, "molecules", "DHA.xyz"))
+    setup = kohn_sham.prepare(mol, "B3LYP", grid_level=1,
+                              density_fit=True, lean_ao=True)
+    assert setup.sys.ao is None, "lean-AO path not engaged"
+    dm = np.ascontiguousarray(np.asarray(initial_guess(setup.sys)))
+    coords, tables = setup.sys.ao_tables
+    e_jax, v_jax = xc_step_onfly(setup.functional, dm, coords,
+                                 setup.sys.weights, tables)
+    import jax.numpy as jnp
+
+    g = int(setup.sys.weights.shape[0])
+    pad = (-g) % 8192
+    crd_pad = jnp.pad(jnp.asarray(coords), ((0, pad), (0, 0)))
+    ao, gr = eval_planes_scan(crd_pad, tables, True, 8192)
+    ao_np = np.ascontiguousarray(np.asarray(ao)[:g])
+    gr_np = np.ascontiguousarray(np.asarray(gr)[:, :g])
+    w_np = np.ascontiguousarray(np.asarray(setup.sys.weights))
+    wsol = HostSolverWrapper("B3LYP")
+    vxc = np.zeros_like(dm)
+    t0 = time.time()
+    exc = wsol.compute_xc(dm, ao_np, w_np, vxc, gr_np)
+    de = abs(exc - float(e_jax))
+    dv = float(np.abs(vxc - np.asarray(v_jax)).max())
+    print(f"DHA/B3LYP lean-AO: dExc={de:.3e} dV={dv:.3e} "
+          f"({time.time()-t0:.0f}s native)", flush=True)
+    lines.append(f"| B3LYP | {g} | {de:.2e} | {dv:.2e} |")
 
     lines.append("")
     with open(OUT, "w") as f:
