@@ -58,6 +58,13 @@ def _round_up(x: int, m: int) -> int:
 # shapes (seeded by kohn_sham.prepare) from later xc_step_pallas traces.
 _ENV_NPAD_GRAN = int(os.environ.get("DFT_PALLAS_NPAD_GRAN", "8"))
 _ENV_TILE = os.environ.get("DFT_PALLAS_TILE")
+# row reductions (rho, grad-rho dots, E) as VPU sublane sums instead of
+# skinny (1, npad) MXU matmuls: "1" = on, "0" = off (matmuls).  The
+# skinny matmuls run the 128x128 systolic array at m=8/128 utilization
+# and serialize against the big matmuls; sublane sums ride the VPU and
+# overlap.  Same f32 accumulation class either way (measured DHA A/B
+# decides the default below).
+_ENV_VPU_REDUCE = os.environ.get("DFT_PALLAS_VPU_REDUCE", "1") == "1"
 
 
 def _npad_for(n: int) -> int:
@@ -150,6 +157,27 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
         def mm_phi(dm, aoh, aol, aot):
             return mm(dm, aot)
 
+    if _ENV_VPU_REDUCE:
+        # AO-axis row reduction on the VPU (sublane sums): same f32
+        # accumulation class as the skinny matmul, but overlaps the MXU
+        # instead of serializing the systolic array at m=8/128
+        # utilization (see _ENV_VPU_REDUCE)
+        def rowsum(ones_row, x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        def e_acc(e_ref, we, tile):
+            e_ref[:, :] += jnp.broadcast_to(jnp.sum(we), (8, 128))
+
+    else:
+
+        def rowsum(ones_row, x):
+            return mm(ones_row, x)
+
+        def e_acc(e_ref, we, tile):
+            e_ref[:, :] += jnp.broadcast_to(
+                mm(we, jnp.ones((tile, 128), f32)), (8, 128)
+            )
+
     if functional.needs_grad:
 
         def kernel(dm_ref, ao_ref, w_ref, gx_ref, gy_ref, gz_ref, ones_ref,
@@ -171,11 +199,11 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
             # tolerates 3-pass products (Fock perturbation ~1e-7,
             # absorbed by DIIS).
             phi_d = mm_phi(dm_ref[:, :], aoh, aol, aot)  # (npad, tile) MXU
-            rho = mm(ones_row, phi_d * aot)          # (1, tile)
+            rho = rowsum(ones_row, phi_d * aot)      # (1, tile)
             gx, gy, gz = gx_ref[:, :], gy_ref[:, :], gz_ref[:, :]
-            grx = 2.0 * mm(ones_row, gx * phi_d)
-            gry = 2.0 * mm(ones_row, gy * phi_d)
-            grz = 2.0 * mm(ones_row, gz * phi_d)
+            grx = 2.0 * rowsum(ones_row, gx * phi_d)
+            gry = 2.0 * rowsum(ones_row, gy * phi_d)
+            grz = 2.0 * rowsum(ones_row, gz * phi_d)
             sigma = grx * grx + gry * gry + grz * grz
             # evaluate the ~400-op autodiff functional on (8, tile/8)
             # subtiles: a (1, tile) row occupies tile/128 VPU registers at
@@ -188,16 +216,16 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
             e = e8.reshape(1, -1)
             vrho = vr8.reshape(1, -1)
             vsigma = vs8.reshape(1, -1)
-            e_ref[:, :] += jnp.broadcast_to(
-                mm(wt * e, jnp.ones((aot.shape[1], 128), f32)), (8, 128)
-            )
+            e_acc(e_ref, wt * e, aot.shape[1])
             # (1, tile) rows sublane-broadcast against (npad, tile)
-            # planes; w folds into the (1, tile) potential rows first so
-            # the plane-scale work is 3 ops (vr*ao, vs*gdot, add), not 4
-            gdot = grx * gx + gry * gy + grz * gz
+            # planes; w and vsigma fold into (1, tile) rows FIRST (u_k =
+            # 2 w vsigma grad_rho_k), so the plane-scale work is 7 ops
+            # (vr*ao + 3 u*g mults + 3 adds) with no (npad, tile) gdot
+            # intermediate
             wvr = wt * vrho
             wvs = 2.0 * wt * vsigma
-            bt = wvr * aot + wvs * gdot
+            bt = (wvr * aot + (wvs * grx) * gx
+                  + (wvs * gry) * gy + (wvs * grz) * gz)
             v_ref[:, :] += nt3(aoh, aol, bt)         # (npad, npad) MXU
 
     else:
@@ -215,16 +243,14 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
             ones_row = ones_ref[:, :]
             aoh, aol = split(aot)  # for the V matmul; see the GGA branch
             phi_d = mm_phi(dm_ref[:, :], aoh, aol, aot)
-            rho = mm(ones_row, phi_d * aot)
+            rho = rowsum(ones_row, phi_d * aot)
             t8 = aot.shape[1] // 8  # subtiled eval: see the GGA branch
             e8, vr8, _ = _functional_eval(
                 functional, rho.reshape(8, t8), None
             )
             e = e8.reshape(1, -1)
             vrho = vr8.reshape(1, -1)
-            e_ref[:, :] += jnp.broadcast_to(
-                mm(wt * e, jnp.ones((aot.shape[1], 128), f32)), (8, 128)
-            )
+            e_acc(e_ref, wt * e, aot.shape[1])
             bt = (wt * vrho) * aot
             v_ref[:, :] += nt3(aoh, aol, bt)
 
@@ -333,11 +359,22 @@ def xc_step_pallas_packed(
                 jax.ShapeDtypeStruct((npad, npad), f32),
             ),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=48 * 1024 * 1024,
+                vmem_limit_bytes=_vmem_limit(
+                    npad, t, functional.needs_grad),
             ),
         )(*args)
     v = v_out[:n, :n].astype(dm.dtype)
     return e_out[0, 0].astype(dm.dtype), 0.5 * (v + v.T)
+
+
+def _vmem_limit(npad: int, tile: int, needs_grad: bool) -> int:
+    """Scoped-VMEM budget: the 48 MB default covers every ladder shape,
+    but large-tile A/B configs (DFT_PALLAS_TILE) need streamed planes
+    double-buffered plus ~6 plane-sized temporaries -- scale the budget
+    with the working set, capped at 110 of v5e's 128 MB."""
+    planes = 4 if needs_grad else 1
+    need = (2 * planes + 6) * npad * tile * 4 + 16 * 2**20
+    return min(110 * 2**20, max(48 * 2**20, need))
 
 
 @functools.partial(
@@ -408,10 +445,10 @@ def xc_step_pallas(
                 jax.ShapeDtypeStruct((npad, npad), f32),
             ),
             # the default 16 MB scoped-vmem budget rejects npad >= 256
-            # (DHA-sized nao); v5e has 128 MB of VMEM -- let the kernel
-            # use a third of it
+            # (DHA-sized nao); v5e has 128 MB of VMEM (see _vmem_limit)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=48 * 1024 * 1024,
+                vmem_limit_bytes=_vmem_limit(
+                    npad, tile, functional.needs_grad),
             ),
         )(*args)
 
