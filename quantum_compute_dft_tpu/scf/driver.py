@@ -350,18 +350,45 @@ def make_system(hcore, s, eri, ao, weights, ao_grad, e_nuc, nocc,
 def _sign_projector_at(fp, w, cut, eye):
     """Projector onto the eigenspace of fp BELOW the scalar `cut` via the
     matrix sign function (Newton-Schulz f64 matmuls, exact on TPU) + two
-    McWeeny idempotency sweeps.  `w` supplies only the spectral bounds
-    for the scale.  A cut below w[0] yields 0, above w[-1] yields I
-    (continuously), so window edges need no special-casing."""
+    McWeeny idempotency sweeps.  `w` supplies the spectral bounds for the
+    scale AND a lower bound on the cut distance for the dynamic scaling.
+    A cut below w[0] yields 0, above w[-1] yields I (continuously), so
+    window edges need no special-casing.
+
+    Round 5: DYNAMICALLY SCALED Newton-Schulz with early exit.  The
+    equioscillating scale g = sqrt(3/(1+l+l^2)) (the scaled-NS sign
+    iteration of the polar-decomposition literature) maps the spectral
+    interval [l, 1] of |a| to [l', 1] with l' = g l (3 - g^2 l^2)/2 --
+    a ~2.6x per-iteration gain far from convergence where plain NS only
+    gains 1.5x -- and the tracked lower bound l doubles as a CONVERGENCE
+    CERTIFICATE: the lax.while_loop exits as soon as every eigenvalue is
+    within 1e-4 of +-1 (the two McWeeny sweeps then polish 1e-4 ->
+    ~1e-15, roundoff).  Typical DFT gaps (l ~ 1e-4..1e-3 of scale) need
+    ~10-13 iterations instead of the previous fixed 30, halving the
+    density build's f64-matmul count; the 34 cap still resolves
+    l ~ 1e-7, BELOW the old fixed-30 resolution (~1e-5), so hard cases
+    get sharper, not sloppier.  l is halved for eigenvalue-error safety
+    (w is TPU-eigh-accurate, ~1e-8 relative; eigenvalues below the
+    tracked l still converge -- just later, covered by the cap)."""
     scale = (
         jnp.maximum(jnp.abs(w[0] - cut), jnp.abs(w[-1] - cut)) * 1.05 + 1e-8
     )
     a = (cut * eye - fp) / scale
+    l0 = jnp.maximum(0.5 * jnp.min(jnp.abs(w - cut)) / scale, 1e-8)
 
-    def ns_step(_, a):
-        return 1.5 * a - 0.5 * a @ a @ a
+    def cond(state):
+        _, l, k = state
+        return (l < 1.0 - 1e-4) & (k < 34)
 
-    a = jax.lax.fori_loop(0, 30, ns_step, a)
+    def body(state):
+        a, l, k = state
+        g2 = 3.0 / (1.0 + l * (1.0 + l))
+        g = jnp.sqrt(g2)
+        a = 0.5 * g * (a @ (3.0 * eye - g2 * (a @ a)))
+        l = 0.5 * g * l * (3.0 - g2 * l * l)
+        return a, l, k + 1
+
+    a, _, _ = jax.lax.while_loop(cond, body, (a, l0, 0))
     p = 0.5 * (eye + a)
     # two McWeeny sweeps clean residual non-idempotency quadratically
     for _ in range(2):
