@@ -442,6 +442,31 @@ def _cd_coulomb_q(bq, dm):
 
 
 @jax.jit
+def _cd_coulomb_q_chunked(bq, dm, chunk: int = 128):
+    """Aux-chunked variant of _cd_coulomb_q for north-star scale: the
+    monolithic (naux, nao^2) f64 GEMV's emulated-matmul workspace blows
+    the HBM budget at (2150, 377, 377) (the round-4 J-anchor was gated
+    to <= 1 GB factors for exactly this, driver.py).  J is linear in the
+    aux planes, so a lax.scan over aux chunks is exact and bounds the
+    workspace to one (chunk, nao^2) slab.  Used for the 'fast'
+    schedule's anchor J at nao >= ~250; the per-decade re-anchor
+    cadence makes its extra scan overhead irrelevant."""
+    naux, nao, _ = bq.shape
+    npad = -(-naux // chunk) * chunk
+    bflat = jnp.pad(bq.reshape(naux, nao * nao),
+                    ((0, npad - naux), (0, 0)))
+    bc = bflat.reshape(npad // chunk, chunk, nao * nao)
+    dmv = dm.reshape(-1)
+
+    def step(acc, b):
+        rho = b @ dmv
+        return acc + rho @ b, None
+
+    j, _ = jax.lax.scan(step, jnp.zeros(nao * nao, bq.dtype), bc)
+    return j.reshape(nao, nao)
+
+
+@jax.jit
 def _cd_coulomb_f32(bq32, dm):
     """J from an f32, aux-major (naux, nao, nao) copy of the Cholesky
     vectors with HIGHEST-precision f32 contractions (~1e-7 relative).

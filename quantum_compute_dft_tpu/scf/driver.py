@@ -1587,18 +1587,22 @@ def scf_host_staged(
         # remaining error (exactly the delta-tail J contract, applied
         # from cycle 0).
         dispatch_base = delta_base
-        # gate on factor size: at north-star scale (nao=377, rank 2150,
-        # 2.4 GB f64 factor) the standalone anchor program's workspace
-        # does not fit the knife-edge HBM budget (measured: compile OOM
-        # at 27 GB); those runs keep the in-cycle f64 J
-        if (xc_impl == "fast" and impl == "pallas" and j_arg is not None
-                and j_arg.size * j_arg.dtype.itemsize <= 1.0e9):
+        if xc_impl == "fast" and impl == "pallas" and j_arg is not None:
             if j_anchor is None or dnorm_prev < 0.1 * j_anchor_dn:
                 from quantum_compute_dft_tpu.integrals.density_fitting import (
                     _cd_coulomb_q,
+                    _cd_coulomb_q_chunked,
                 )
 
-                j_anchor = (dm, _cd_coulomb_q(j_arg, dm))
+                # large factors (north-star scale: nao=377, rank 2150,
+                # 2.4 GB f64) anchor through the aux-chunked builder --
+                # the monolithic anchor program's emulated-f64 workspace
+                # blew the knife-edge HBM budget (round-4 gate: compile
+                # OOM at 27 GB), which kept the fastest schedule off the
+                # flagship config entirely
+                big = j_arg.size * j_arg.dtype.itemsize > 1.0e9
+                jb = (_cd_coulomb_q_chunked if big else _cd_coulomb_q)
+                j_anchor = (dm, jb(j_arg, dm))
                 j_anchor_dn = dnorm_prev
             dispatch_base = j_anchor
         # Block n cycles into one dispatch (see _cycle_block) when the
