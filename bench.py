@@ -115,7 +115,9 @@ def _xc_roofline_ms(nao: int, nrow: int, gpad: int, needs_grad: bool,
     axis.  Bytes: P planes * nrow * gpad * 4 read once (D, V, w are
     O(nao^2)/O(gpad) and negligible).  MXU: the two (nrow x n128 x gpad)
     matmuls at their pass counts, plus the five skinny row-reduction
-    matmuls ((1, n)-shaped; m pads to 8 sublanes) at HIGHEST (6 passes).
+    matmuls ((1, n)-shaped; m pads to 8 sublanes) at the kernel's
+    round-5 TWO-pass exact lowering (the 1.0/0.0 selector row is exact
+    in bf16, so only the data operand splits -- pallas_xc rowsum).
     Returns (floor_ms, bw_ms, mxu_ms)."""
     planes = 4 if needs_grad else 1
     n128 = (nao + 127) // 128 * 128
@@ -123,7 +125,7 @@ def _xc_roofline_ms(nao: int, nrow: int, gpad: int, needs_grad: bool,
     bw_ms = planes * nrow * gpad * 4 / hbm_gbs / 1e6
     skinny = 5 if needs_grad else 2  # rho, 3 grads, e-row | rho, e-row
     mxu_flops = 2 * gpad * (
-        (phi_passes + v_passes) * n8 * n128 + 6 * skinny * 8 * n128
+        (phi_passes + v_passes) * n8 * n128 + 2 * skinny * 8 * n128
     )
     mxu_ms = mxu_flops / bf16_tflops / 1e9
     return max(bw_ms, mxu_ms), bw_ms, mxu_ms

@@ -59,12 +59,20 @@ def _round_up(x: int, m: int) -> int:
 _ENV_NPAD_GRAN = int(os.environ.get("DFT_PALLAS_NPAD_GRAN", "8"))
 _ENV_TILE = os.environ.get("DFT_PALLAS_TILE")
 # row reductions (rho, grad-rho dots, E) as VPU sublane sums instead of
-# skinny (1, npad) MXU matmuls: "1" = on, "0" = off (matmuls).  The
-# skinny matmuls run the 128x128 systolic array at m=8/128 utilization
-# and serialize against the big matmuls; sublane sums ride the VPU and
-# overlap.  Same f32 accumulation class either way (measured DHA A/B
-# decides the default below).
-_ENV_VPU_REDUCE = os.environ.get("DFT_PALLAS_VPU_REDUCE", "1") == "1"
+# skinny (1, npad) MXU matmuls.  Default OFF: Mosaic cannot shape-cast
+# the sublane-reduced (1, tile) row to the (8, tile/8) functional
+# subtile ("infer-vector-layout: unsupported shape cast" on v5e), so
+# the matmul variant -- whose output layout does relayout cleanly -- is
+# the only compiling path for the functional inputs.  The flag remains
+# for future Mosaic versions.
+_ENV_VPU_REDUCE = os.environ.get("DFT_PALLAS_VPU_REDUCE", "0") == "1"
+# kernel ablation instrumentation (bench-only, wrong results by design):
+# "nofunc" stubs the ~400-op autodiff functional, "nov" skips the B
+# assembly + V-accumulation matmul, "noprod" replaces the four
+# (npad, tile) elementwise products feeding the row reductions with
+# plane reuses.  Used by tools/pallas_sweep.py to attribute the
+# measured-vs-roofline gap to VPU phases; never set in production.
+_ENV_ABLATE = os.environ.get("DFT_PALLAS_ABLATE", "")
 
 
 def _npad_for(n: int) -> int:
@@ -161,7 +169,8 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
         # AO-axis row reduction on the VPU (sublane sums): same f32
         # accumulation class as the skinny matmul, but overlaps the MXU
         # instead of serializing the systolic array at m=8/128
-        # utilization (see _ENV_VPU_REDUCE)
+        # utilization (see _ENV_VPU_REDUCE -- default OFF, Mosaic
+        # layout limitation)
         def rowsum(ones_row, x):
             return jnp.sum(x, axis=0, keepdims=True)
 
@@ -169,13 +178,22 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
             e_ref[:, :] += jnp.broadcast_to(jnp.sum(we), (8, 128))
 
     else:
-
+        # 2-pass exact skinny reductions: a selector row of 1.0/0.0 is
+        # EXACT in bf16, so ones @ x = ones_bf16 @ x_hi + ones_bf16 @
+        # x_lo with every product exact and f32 pass accumulation --
+        # the same accuracy class as the 6-pass HIGHEST lowering at a
+        # third of its MXU passes (the five row reductions were ~15% of
+        # the modeled MXU floor at DHA shape).
         def rowsum(ones_row, x):
-            return mm(ones_row, x)
+            xh, xl = split(x)
+            ob = ones_row.astype(bf16)
+            return d1(ob, xh) + d1(ob, xl)
 
         def e_acc(e_ref, we, tile):
+            ones_t = jnp.ones((tile, 128), bf16)
+            weh, wel = split(we)
             e_ref[:, :] += jnp.broadcast_to(
-                mm(we, jnp.ones((tile, 128), f32)), (8, 128)
+                d1(weh, ones_t) + d1(wel, ones_t), (8, 128)
             )
 
     if functional.needs_grad:
@@ -198,21 +216,43 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
             # mixed-mode cycles only).  The V accumulation always
             # tolerates 3-pass products (Fock perturbation ~1e-7,
             # absorbed by DIIS).
-            phi_d = mm_phi(dm_ref[:, :], aoh, aol, aot)  # (npad, tile) MXU
-            rho = rowsum(ones_row, phi_d * aot)      # (1, tile)
+            if _ENV_ABLATE == "nophi":  # bench ablation: skip phi_D GEMM
+                phi_d = aot
+            elif _ENV_ABLATE == "phi3":  # bench ablation: 3-pass phi_D
+                dmh, dml = split(dm_ref[:, :])
+                phi_d = d1(dmh, aoh) + d1(dmh, aol) + d1(dml, aoh)
+            else:
+                phi_d = mm_phi(dm_ref[:, :], aoh, aol, aot)  # MXU
             gx, gy, gz = gx_ref[:, :], gy_ref[:, :], gz_ref[:, :]
-            grx = 2.0 * rowsum(ones_row, gx * phi_d)
-            gry = 2.0 * rowsum(ones_row, gy * phi_d)
-            grz = 2.0 * rowsum(ones_row, gz * phi_d)
+            if _ENV_ABLATE == "noskinny":  # bench ablation: slice rows
+                rho = (phi_d * aot)[0:1, :]
+                grx = 2.0 * (gx * phi_d)[0:1, :]
+                gry = 2.0 * (gy * phi_d)[0:1, :]
+                grz = 2.0 * (gz * phi_d)[0:1, :]
+            elif _ENV_ABLATE == "noprod":  # bench ablation: see _ENV_ABLATE
+                rho = rowsum(ones_row, phi_d)
+                grx = 2.0 * rowsum(ones_row, gx)
+                gry = 2.0 * rowsum(ones_row, gy)
+                grz = 2.0 * rowsum(ones_row, gz)
+            else:
+                rho = rowsum(ones_row, phi_d * aot)  # (1, tile)
+                grx = 2.0 * rowsum(ones_row, gx * phi_d)
+                gry = 2.0 * rowsum(ones_row, gy * phi_d)
+                grz = 2.0 * rowsum(ones_row, gz * phi_d)
             sigma = grx * grx + gry * gry + grz * grz
             # evaluate the ~400-op autodiff functional on (8, tile/8)
             # subtiles: a (1, tile) row occupies tile/128 VPU registers at
             # 1/8 sublane utilization; reshaped, the same work runs on
             # 8x denser registers (two cheap relayouts per quantity)
             t8 = aot.shape[1] // 8
-            e8, vr8, vs8 = _functional_eval(
-                functional, rho.reshape(8, t8), sigma.reshape(8, t8)
-            )
+            if _ENV_ABLATE == "nofunc":  # bench ablation: linear stub
+                e8 = rho.reshape(8, t8)
+                vr8 = e8
+                vs8 = sigma.reshape(8, t8)
+            else:
+                e8, vr8, vs8 = _functional_eval(
+                    functional, rho.reshape(8, t8), sigma.reshape(8, t8)
+                )
             e = e8.reshape(1, -1)
             vrho = vr8.reshape(1, -1)
             vsigma = vs8.reshape(1, -1)
@@ -224,9 +264,10 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
             # intermediate
             wvr = wt * vrho
             wvs = 2.0 * wt * vsigma
-            bt = (wvr * aot + (wvs * grx) * gx
-                  + (wvs * gry) * gy + (wvs * grz) * gz)
-            v_ref[:, :] += nt3(aoh, aol, bt)         # (npad, npad) MXU
+            if _ENV_ABLATE != "nov":  # bench ablation: skip B + V GEMM
+                bt = (wvr * aot + (wvs * grx) * gx
+                      + (wvs * gry) * gy + (wvs * grz) * gz)
+                v_ref[:, :] += nt3(aoh, aol, bt)     # (npad, npad) MXU
 
     else:
 
@@ -263,6 +304,16 @@ def _tile_for(npad: int, tile: int) -> int:
         # (8, tile/8) functional subtiling requires -- Mosaic rejects
         # other shapes -- instead of letting the override bypass it.
         return max(1024, int(_ENV_TILE) // 1024 * 1024)
+    # Small AO dims are DISPATCH/grid-step-bound, not bandwidth-bound:
+    # benzene (npad 40) measured 0.58 ms at 12 tiles of 12288 vs
+    # 0.19 ms at 3 tiles of 49152 (round-5 sweep, tools/pallas_sweep.py)
+    # -- so small shapes take the largest tile the VMEM budget allows.
+    if npad <= 40:
+        return 49152
+    if npad <= 64:
+        return 24576
+    if npad <= 96:
+        return 12288
     # per-tile VMEM scales with tile*npad (streamed planes + temporaries,
     # double-buffered); shrink the grid tile as the AO dim grows so the
     # working set stays inside the (raised) VMEM budget at DHA-and-up sizes.
