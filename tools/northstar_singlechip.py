@@ -116,9 +116,29 @@ def main() -> int:
         print(f"{cycle + 1:3d} E={float(eb.e_tot):.8f} de={de:.2e} "
               f"dn={dnorm:.2e}", flush=True)
 
+    # mid-run periodic checkpointing (round 5): a crash at cycle 100 of
+    # this ~20-minute run resumes from the last atomic save.  Resume by
+    # re-running with NORTHSTAR_RESUME=1.
+    from quantum_compute_dft_tpu.scf.checkpoint import (
+        load_checkpoint,
+        periodic_saver,
+    )
+
+    ck_path = os.path.join(here, ".cache",
+                           f"northstar_ck_{mol_name}_L{grid_level}.npz")
+    dm0 = None
+    if os.environ.get("NORTHSTAR_RESUME") == "1" and os.path.exists(ck_path):
+        ck = load_checkpoint(ck_path)
+        dm0 = ck["dm"]
+        print(f"resuming from checkpoint cycle {ck['cycle']} "
+              f"(E={ck['e_tot']:.8f})", flush=True)
+
     t1 = time.time()
     r = scf_host_staged(scf_sys, functional, xc_impl=xc_impl,
-                        callback=cb, max_cycle=max_cycle)
+                        callback=cb, max_cycle=max_cycle, dm0=dm0,
+                        checkpoint_cb=periodic_saver(
+                            ck_path, functional.name, mol_name),
+                        checkpoint_every=25)
     t_scf = time.time() - t1
     out = {
         "molecule": mol_name,
