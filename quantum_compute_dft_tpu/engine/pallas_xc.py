@@ -224,12 +224,7 @@ def _make_kernel(functional: Functional, npad: int, phi_split: bool = False):
             else:
                 phi_d = mm_phi(dm_ref[:, :], aoh, aol, aot)  # MXU
             gx, gy, gz = gx_ref[:, :], gy_ref[:, :], gz_ref[:, :]
-            if _ENV_ABLATE == "noskinny":  # bench ablation: slice rows
-                rho = (phi_d * aot)[0:1, :]
-                grx = 2.0 * (gx * phi_d)[0:1, :]
-                gry = 2.0 * (gy * phi_d)[0:1, :]
-                grz = 2.0 * (gz * phi_d)[0:1, :]
-            elif _ENV_ABLATE == "noprod":  # bench ablation: see _ENV_ABLATE
+            if _ENV_ABLATE == "noprod":  # bench ablation: see _ENV_ABLATE
                 rho = rowsum(ones_row, phi_d)
                 grx = 2.0 * rowsum(ones_row, gx)
                 gry = 2.0 * rowsum(ones_row, gy)
