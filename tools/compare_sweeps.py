@@ -15,9 +15,20 @@ Classifies each energy delta:
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 HEAVY = ("Cu", "As", "Se", "Br", "Mo", "I")
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _has_heavy(mol_name: str) -> bool:
+    path = os.path.join(HERE, "molecules", f"{mol_name}.xyz")
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        return any(p[0] in HEAVY for line in f
+                   if len(p := line.split()) == 4)
 
 
 def main() -> int:
@@ -32,10 +43,11 @@ def main() -> int:
         de = nv["e_tot"] - ov["e_tot"]
         if abs(de) <= 2e-6:
             klass = "parity"
-        elif (nv.get("smear_kt") and ov.get("smear_kt")
-                and nv["smear_kt"] < ov["smear_kt"]):
+        elif ov.get("smear_kt") and nv["smear_kt"] < ov["smear_kt"]:
+            # includes kT -> 0: the new stack reached the INTEGER ground
+            # state where the old one only converged smeared
             klass = "colder-kT"
-        elif ov["n_iter"] <= 6 and any(h in k for h in HEAVY):
+        elif ov["n_iter"] <= 6 and _has_heavy(k.split("/")[0]):
             klass = "spurious-fix"
         else:
             klass = "UNEXPLAINED"
